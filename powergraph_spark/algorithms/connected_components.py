@@ -1,0 +1,100 @@
+"""Connected components — min-label propagation.
+
+Reference: /root/reference/toolkits/graph_analytics/connected_component.cpp:34-135
+(also apps/concomp/concomp.cpp). Semantics: label init = vertex id;
+message = min of neighbor labels over ALL edges (min_message monoid,
+connected_component.cpp:38-52); apply keeps min(own, received)
+(:105-113); scatter signals neighbors with larger labels. Terminates
+at fixpoint (TASK_DEPLETION) — result: component id = min vertex id
+in the component. Exact-match gate per BASELINE.json.
+
+Spark mapping: frontier-driven min-label iteration. Messages flow only
+out of vertices whose label changed last superstep (the signal set),
+so late supersteps touch only the shrinking frontier — the active-set
+execution the reference gets from its dense bitsets
+(synchronous_engine.hpp:446-516).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import CheckpointStore
+from ..gas import GASResult, run_gas
+from ..graph import Graph
+
+
+def connected_components(
+    graph: Graph,
+    max_iterations: int = 200,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
+    verbose: bool = False,
+) -> GASResult:
+    """Returns GASResult whose state is (id, component, changed)."""
+    P = graph.num_partitions
+    # ALL_EDGES view: label floods both directions.
+    sym = (
+        graph.symmetrized_edges()
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    init = graph.vertices.select(
+        "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+    ).repartition(P, "id")
+
+    def step(g: Graph, state: DataFrame, i: int):
+        frontier = state.filter(F.col("changed")).select("id", "component")
+        msgs = (
+            sym.join(frontier, sym.src == frontier.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("received"))
+        )
+        new_state = (
+            state.select("id", "component")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("received", F.col("component"))
+                ).alias("new_component"),
+                "component",
+            )
+            .select(
+                "id",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") < F.col("component")).alias("changed"),
+            )
+        )
+        active = new_state.filter(F.col("changed")).select("id")
+        return new_state, active
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    sym.unpersist()
+    return result
+
+
+def component_sizes(state: DataFrame) -> DataFrame:
+    """Component-size histogram (connected_component_stats.cpp:65-155):
+    size -> number of components of that size."""
+    return (
+        state.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )

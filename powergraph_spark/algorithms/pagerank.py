@@ -1,0 +1,138 @@
+"""PageRank — reference semantics from
+/root/reference/toolkits/graph_analytics/pagerank.cpp.
+
+Reference contract (pagerank.cpp:76-146):
+- init rank = 1.0 (pagerank.cpp:52)
+- update: rank'(v) = 0.15 + 0.85 * sum_{u->v} rank(u)/out_deg(u)
+  (RESET_PROB at :31, gather at :87-92, apply at :99-106). This is the
+  *unnormalized* PowerGraph PageRank — no dangling-mass redistribution,
+  no 1/N scaling.
+- dynamic convergence: scatter signals a neighbor when |delta| > tol
+  (pagerank.cpp:124-135); synchronous full-update to max|delta| <= tol
+  is convergence-equivalent and is what we run.
+
+GAS -> DataFrame mapping (SURVEY.md §2.6): scatter join of rank state
+onto the edge table + gather groupBy(dst).sum() + apply expression.
+Per superstep: exactly two shuffles (state->edge partitions = the
+master->mirror vdata broadcast; contributions->dst = the mirror->master
+partial-gather merge, synchronous_engine.hpp:1860-1877). Partial
+map-side aggregation of the sum is Spark's built-in analog of
+pre/post_local_gather (ivertex_program.hpp:729-765), and is what makes
+hub in-degrees scale: each edge partition emits one partial sum per
+(partition, dst).
+
+Scale notes: the edge table is shuffled ONCE (repartition by src,
+persisted); every superstep shuffles only the vertex-state table
+(|V| rows, orders of magnitude smaller than |E| at web scale) plus
+the partially-aggregated contributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import CheckpointStore
+from ..gas import GASResult, run_gas
+from ..graph import Graph
+
+RESET_PROB = 0.15  # pagerank.cpp:31
+
+
+def pagerank(
+    graph: Graph,
+    tol: float = 1e-6,
+    max_iterations: int = 200,
+    damping: float = 0.85,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = False,
+    verbose: bool = False,
+) -> GASResult:
+    """Returns GASResult whose state is (id, rank, out_deg, delta)."""
+    spark = graph.edges.sparkSession
+    P = graph.num_partitions
+
+    # Edge layout for the iteration: hash-partitioned by src and
+    # persisted, so the per-superstep scatter join shuffles only the
+    # (small) vertex-state side. Only (src, dst) survive column pruning.
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    init = (
+        graph.vertices.select("id")
+        .join(out_deg, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0).alias("rank"),  # pagerank.cpp:52
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.lit(float("inf")).alias("delta"),
+        )
+        .repartition(P, "id")
+    )
+
+    def step(g: Graph, state: DataFrame, i: int):
+        contrib = (
+            edges.join(
+                # dangling vertices (out_deg=0) contribute nothing
+                # (unnormalized reference semantics) — filtering them
+                # also shrinks the scatter-join input.
+                state.filter(F.col("out_deg") > 0).select(
+                    "id", (F.col("rank") / F.col("out_deg")).alias("c")
+                ),
+                edges.src == F.col("id"),
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("gathered"))
+        )
+        new_state = (
+            state.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(RESET_PROB) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias("new_rank"),
+                "rank",
+                "out_deg",
+            )
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                "out_deg",
+                F.abs(F.col("new_rank") - F.col("rank")).alias("delta"),
+            )
+        )
+        return new_state, None
+
+    def convergence(old: DataFrame, new: DataFrame):
+        row = new.agg(
+            F.max("delta").alias("md"),
+            F.sum(F.when(F.col("delta") > tol, 1).otherwise(0)).alias("na"),
+        ).first()
+        return int(row["na"] or 0), float(row["md"] or 0.0)
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        convergence_fn=convergence,
+        tol=tol,
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    edges.unpersist()
+    return result
+
+
+def total_rank(state: DataFrame) -> float:
+    """map_reduce_vertices(total_rank) self-check (pagerank.cpp:257-258)."""
+    return float(state.agg(F.sum("rank")).first()[0])

@@ -1,0 +1,117 @@
+"""Triangle counting via degree-ordered neighbor-set intersection.
+
+Reference: /root/reference/toolkits/graph_analytics/
+undirected_triangle_count.cpp:148-560 (orientation rule at :463 — keep
+neighbor w in v's set only if (deg(w), w) > (deg(v), v)) and
+simple_undirected_triangle_count.cpp:118-288 (sorted-vector
+intersection, iterate the smaller set, :279-310).
+
+Algorithm (one pass, no iteration):
+1. undirected edge set (dedup both directions, drop self-loops);
+2. total degree per vertex;
+3. orient every edge lo->hi by (degree, id) — each vertex's oriented
+   out-neighborhood has size <= O(sqrt(m)), which bounds the adjacency
+   lists that get joined (the skew-killer: a hub's huge neighborhood
+   is never materialized on one side);
+4. adjacency lists adj(v) = sorted oriented neighbors;
+5. per-edge count = |adj(lo) ∩ adj(hi)| — each triangle counted
+   exactly once, at its (min,mid) oriented edge;
+6. per-vertex counts re-aggregated: lo and hi credit the pair count,
+   every w in the intersection credits 1.
+
+The intersection runs JVM-side (array_intersect inside whole-stage
+codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import Graph
+
+
+def _oriented(graph: Graph) -> DataFrame:
+    """Undirected edges oriented lo->hi by (total degree, id)."""
+    und = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    e = (
+        und.join(da, und.a == F.col("da.id"))
+        .join(db, und.b == F.col("db.id"))
+        .select(
+            "a", "b", F.col("da.deg").alias("deg_a"), F.col("db.deg").alias("deg_b")
+        )
+    )
+    # orientation: lo = smaller (deg, id)  (undirected_triangle_count.cpp:463)
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_edge_counts(graph: Graph) -> DataFrame:
+    """(lo, hi, common) — triangles closed over each oriented edge,
+    plus the intersection itself for per-vertex attribution."""
+    P = graph.num_partitions
+    oriented = _oriented(graph).repartition(P, "lo").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    adj = oriented.groupBy(F.col("lo").alias("id")).agg(
+        F.sort_array(F.collect_list("hi")).alias("nbrs")
+    )
+    a_lo, a_hi = adj.alias("alo"), adj.alias("ahi")
+    return (
+        oriented.join(a_lo, oriented.lo == F.col("alo.id"), "left")
+        .join(a_hi, oriented.hi == F.col("ahi.id"), "left")
+        .select(
+            "lo",
+            "hi",
+            F.array_intersect(
+                F.coalesce(F.col("alo.nbrs"), F.array().cast("array<long>")),
+                F.coalesce(F.col("ahi.nbrs"), F.array().cast("array<long>")),
+            ).alias("common"),
+        )
+    )
+
+
+def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
+    """Returns (per-vertex counts (id, n_triangles), total_triangles).
+
+    Per-vertex semantics match the reference's second GAS round
+    (simple_undirected_triangle_count.cpp:216-288): every vertex counts
+    the triangles it participates in; sum(per-vertex) = 3 * total.
+    """
+    ec = triangle_edge_counts(graph).withColumn("c", F.size("common")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = int(ec.agg(F.sum("c")).first()[0] or 0)
+    credits = (
+        ec.select(F.col("lo").alias("id"), F.col("c").alias("n"))
+        .unionAll(ec.select(F.col("hi").alias("id"), F.col("c").alias("n")))
+        .unionAll(
+            ec.select(F.explode("common").alias("id"), F.lit(1).alias("n"))
+        )
+    )
+    per_vertex = (
+        graph.vertices.select("id")
+        .join(credits.groupBy("id").agg(F.sum("n").alias("n_triangles")), "id", "left")
+        .select("id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )
+    ec.unpersist()
+    return per_vertex, total

@@ -1,0 +1,117 @@
+"""Durable per-superstep checkpointing with lineage + metrics.
+
+Analog of the reference's snapshot mechanism (snapshot_interval,
+/root/reference/src/graphlab/engine/synchronous_engine.hpp:191-200,1418-1420
+-> graph.save_binary, distributed_graph.hpp:1720-1833) with two
+upgrades the north rule demands:
+
+- resumable at ANY parallelism (save_binary requires the same machine
+  count to reload; Parquet/Iceberg tables do not), and
+- per-partition lineage + metrics recorded with each commit so a run
+  can be audited and resumed mid-iteration.
+
+Layout (an Iceberg-style table-with-manifest on plain Parquet — on a
+real cluster the same CheckpointStore API is backed by an Iceberg
+table where each superstep is a table snapshot; this sandbox has no
+Iceberg runtime jar, so commits are directory+manifest with
+write-then-rename atomicity, which preserves the same semantics:
+readers only see manifests of fully-written snapshots):
+
+    <root>/superstep=<n>/part-*.parquet     state rows
+    <root>/superstep=<n>/MANIFEST.json      commit marker: superstep,
+                                            per-partition row counts
+                                            (lineage), metrics, schema
+    <root>/metrics.jsonl                    append-only metrics log
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .gas import SuperstepMetrics
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, superstep: int) -> str:
+        return os.path.join(self.root, f"superstep={superstep:06d}")
+
+    def _manifest(self, superstep: int) -> str:
+        return os.path.join(self._dir(superstep), "_MANIFEST.json")
+
+    def commit(self, superstep: int, state: DataFrame, metrics: "SuperstepMetrics") -> DataFrame:
+        """Write state + lineage + metrics; return the re-read state
+        (fresh scan => truncated plan)."""
+        d = self._dir(superstep)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        state.write.mode("overwrite").parquet(tmp)
+        # per-partition lineage: physical partition -> row count
+        lineage = [
+            {"partition": int(r["p"]), "rows": int(r["n"])}
+            for r in state.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        manifest = {
+            "superstep": superstep,
+            "schema": state.schema.jsonValue(),
+            "lineage": lineage,
+            "metrics": json.loads(metrics.to_json()),
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)  # atomic commit
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(metrics.to_json() + "\n")
+        # drop any cached scan of this path (a prior run may have
+        # persisted a DataFrame over the old files)
+        self.spark.catalog.refreshByPath(d)
+        return self.spark.read.parquet(d)
+
+    def committed_supersteps(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in os.listdir(self.root):
+            if name.startswith("superstep=") and not name.endswith(".tmp"):
+                n = int(name.split("=")[1])
+                if os.path.exists(self._manifest(n)):
+                    out.append(n)
+        return sorted(out)
+
+    def latest(self) -> tuple[int, DataFrame] | None:
+        steps = self.committed_supersteps()
+        if not steps:
+            return None
+        n = steps[-1]
+        return n, self.read(n)
+
+    def read(self, superstep: int) -> DataFrame:
+        d = self._dir(superstep)
+        self.spark.catalog.refreshByPath(d)
+        return self.spark.read.parquet(d)
+
+    def manifest(self, superstep: int) -> dict:
+        with open(self._manifest(superstep)) as f:
+            return json.load(f)
+
+    def truncate_after(self, superstep: int) -> None:
+        """Drop commits newer than `superstep` (crash-mid-run tests)."""
+        for n in self.committed_supersteps():
+            if n > superstep:
+                shutil.rmtree(self._dir(n))

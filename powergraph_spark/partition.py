@@ -1,0 +1,149 @@
+"""Vertex-cut edge partitioners as pure column expressions.
+
+PowerGraph places each *edge* on exactly one machine and replicates
+*vertices* across every machine holding one of their edges (the
+vertex-cut; /root/reference/src/graphlab/graph/distributed_graph.hpp:251-274).
+We reproduce the same placement geometry as a deterministic `pid`
+column computed from (src, dst) — stateless, so Catalyst evaluates it
+inside the scan stage, and reproducible at any parallelism.
+
+Strategies (reference: --graph_opts ingress=X,
+/root/reference/src/graphlab/graph/distributed_graph.hpp:3179-3223):
+
+- ``random``: hash of the undirected pair
+  (/root/reference/src/graphlab/graph/ingress/distributed_random_ingress.hpp:40-70,
+  hash at graph/graph_hash.hpp:37-61).
+- ``grid``: constrained random — machines arranged in a k x k grid,
+  pid = cell (row(shard(src)), col(shard(dst))). Bounds each vertex's
+  replication to <= 2k-1 partitions
+  (/root/reference/src/graphlab/graph/ingress/distributed_constrained_random_ingress.hpp:40-95,
+  sharding_constraint.hpp). This is the engine default.
+- hub salting: the HDRF idea (favor splitting the higher-degree
+  endpoint, /root/reference/src/graphlab/graph/ingress/ingress_edge_decision.hpp:192-261)
+  expressed batch-wise — edges of a hub vertex are spread over
+  ``ceil(degree/cap)`` salted cells so no single task owns a hub's
+  full edge list (north-star requirement).
+
+The reference's sequential greedy strategies (oblivious/hdrf proper)
+are inherently stateful per-loader and not Spark-natural; grid+salt
+achieves the same goal (bounded replication, skew diffusion)
+declaratively. Documented non-goal per SURVEY.md §2.2.
+
+At 100 TB these expressions matter because they are *scan-stage*
+column computations: no shuffle is spent deciding placement, and the
+single ingest repartition(P, "pid") is the only data movement —
+exactly one all-to-all, same as the reference's edge exchange
+(/root/reference/src/graphlab/graph/ingress/distributed_ingress_base.hpp:130-140).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_side(num_partitions: int) -> int:
+    """Smallest k with k*k >= num_partitions (grid side length)."""
+    return max(1, math.isqrt(max(1, num_partitions - 1)) + 1)
+
+
+def random_pid(src: Column, dst: Column, num_partitions: int) -> Column:
+    """hash_edge(min(s,t), max(s,t)) % P — reference random ingress.
+
+    /root/reference/src/graphlab/graph/ingress/ingress_edge_decision.hpp:49-56
+    """
+    lo, hi = F.least(src, dst), F.greatest(src, dst)
+    return F.pmod(F.xxhash64(lo, hi), F.lit(num_partitions)).cast("int")
+
+
+def grid_pid(src: Column, dst: Column, num_partitions: int) -> Column:
+    """Grid-constrained placement: cell (hash(src)%k, hash(dst)%k).
+
+    All edges out of vertex v land in row hash(v)%k; all edges into v
+    land in column hash(v)%k — v is replicated across at most 2k-1
+    cells. k*k may exceed num_partitions; pids are folded back with a
+    final pmod, which preserves the bound up to the fold.
+    """
+    k = grid_side(num_partitions)
+    row = F.pmod(F.xxhash64(F.lit(17), src), F.lit(k))
+    col = F.pmod(F.xxhash64(F.lit(31), dst), F.lit(k))
+    return F.pmod(row * k + col, F.lit(num_partitions)).cast("int")
+
+
+def assign_pid(
+    edges: DataFrame,
+    num_partitions: int,
+    strategy: str = "grid",
+    salt_cap: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Attach the vertex-cut `pid` column, optionally salting hubs.
+
+    ``salt_cap``: if set, any source vertex with out-degree > salt_cap
+    has its edges spread over ceil(out_deg/cap) distinct grid columns
+    (and symmetrically for high in-degree destinations over rows), so
+    no partition owns more than ~cap of a hub's edges. The degree
+    computation is one extra aggregation at ingest time only — the pid
+    is then frozen into the edges table and reused every superstep.
+    """
+    if strategy == "random":
+        base = random_pid(F.col(src), F.col(dst), num_partitions)
+    elif strategy == "grid":
+        base = grid_pid(F.col(src), F.col(dst), num_partitions)
+    elif strategy == "identity":
+        # edges stay where parsed
+        # (/root/reference/src/graphlab/graph/ingress/distributed_identity_ingress.hpp)
+        return edges.withColumn("pid", F.spark_partition_id().cast("int"))
+    else:
+        raise ValueError(f"unknown partition strategy: {strategy}")
+
+    if salt_cap is None:
+        return edges.withColumn("pid", base)
+
+    out_deg = edges.groupBy(F.col(src).alias("_sid")).agg(
+        F.count(F.lit(1)).alias("_odeg")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("_did")).agg(
+        F.count(F.lit(1)).alias("_ideg")
+    )
+    k = grid_side(num_partitions)
+    e = (
+        edges.join(F.broadcast(out_deg.filter(F.col("_odeg") > salt_cap)),
+                   edges[src] == F.col("_sid"), "left")
+        .join(F.broadcast(in_deg.filter(F.col("_ideg") > salt_cap)),
+              edges[dst] == F.col("_did"), "left")
+    )
+    # salt offsets derived from the edge pair hash: deterministic,
+    # uniform over ceil(deg/cap) buckets.
+    salt_src = F.when(
+        F.col("_odeg").isNotNull(),
+        F.pmod(F.xxhash64(F.lit(101), F.col(src), F.col(dst)),
+               F.ceil(F.col("_odeg") / salt_cap)),
+    ).otherwise(F.lit(0))
+    salt_dst = F.when(
+        F.col("_ideg").isNotNull(),
+        F.pmod(F.xxhash64(F.lit(103), F.col(src), F.col(dst)),
+               F.ceil(F.col("_ideg") / salt_cap)),
+    ).otherwise(F.lit(0))
+    row = F.pmod(F.xxhash64(F.lit(17), F.col(src)) + salt_dst, F.lit(k))
+    col = F.pmod(F.xxhash64(F.lit(31), F.col(dst)) + salt_src, F.lit(k))
+    pid = F.pmod(row * k + col, F.lit(num_partitions)).cast("int")
+    return e.withColumn("pid", pid).drop("_sid", "_odeg", "_did", "_ideg")
+
+
+def replication_factor(edges: DataFrame, src: str = "src", dst: str = "dst") -> float:
+    """nreplicas/nverts — the reference's ingress quality metric.
+
+    /root/reference/src/graphlab/graph/ingress/distributed_ingress_base.hpp:545-551
+    A vertex is replicated once per distinct pid among its edges.
+    """
+    ends = edges.select(F.col(src).alias("id"), "pid").unionAll(
+        edges.select(F.col(dst).alias("id"), "pid")
+    )
+    row = ends.groupBy("id").agg(
+        F.count_distinct("pid").alias("nrep")
+    ).agg(F.sum("nrep").alias("r"), F.count(F.lit(1)).alias("v")).first()
+    return float(row["r"]) / max(1, int(row["v"]))

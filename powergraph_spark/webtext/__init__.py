@@ -1,0 +1,16 @@
+from .extract import extract_pages, link_pairs, links_expr, text_expr
+from .ingest import audit_collisions, pages_to_graph, url_id
+from .pages import expected_edges, generate_pages, write_pages_table
+
+__all__ = [
+    "extract_pages",
+    "link_pairs",
+    "links_expr",
+    "text_expr",
+    "pages_to_graph",
+    "audit_collisions",
+    "url_id",
+    "generate_pages",
+    "write_pages_table",
+    "expected_edges",
+]

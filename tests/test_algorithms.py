@@ -1,0 +1,182 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from conftest import REF_EDGES, REF_VERTICES
+from oracles import (
+    cc_oracle,
+    lp_oracle,
+    pagerank_oracle,
+    powerlaw_edges,
+    triangles_oracle,
+)
+from pyspark.sql import functions as F
+
+from powergraph_spark.algorithms import (
+    component_sizes,
+    connected_components,
+    label_propagation,
+    pagerank,
+    total_rank,
+    triangle_count,
+)
+from powergraph_spark.graph import Graph
+
+# A two-component graph with triangles, a reciprocal pair, and an
+# isolated-ish tail (apply on edgeless-direction vertices).
+MULTI_EDGES = [
+    (1, 2), (2, 3), (3, 1),          # triangle 1-2-3
+    (3, 4), (4, 5), (5, 3),          # triangle 3-4-5
+    (2, 4),                          # closes 2-3-4
+    (6, 7), (7, 6),                  # reciprocal pair, second component
+    (7, 8),
+    (10, 11),                        # third component
+]
+MULTI_VERTICES = {1, 2, 3, 4, 5, 6, 7, 8, 10, 11}
+
+PL_EDGES = powerlaw_edges(300, seed=42)
+PL_VERTICES = set(range(300))
+
+
+def build(spark, edges, P=4):
+    return Graph.from_pandas(spark, edges, num_partitions=P)
+
+
+# ---------------------------------------------------------------- PageRank
+@pytest.mark.parametrize(
+    "edges,vertices",
+    [(REF_EDGES, REF_VERTICES), (MULTI_EDGES, MULTI_VERTICES), (PL_EDGES, PL_VERTICES)],
+    ids=["ref5", "multi", "powerlaw300"],
+)
+def test_pagerank_matches_oracle(spark, edges, vertices):
+    g = build(spark, edges)
+    res = pagerank(g, tol=1e-9, max_iterations=300)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = pagerank_oracle(edges, vertices, tol=1e-9, max_iter=300)
+    assert set(got) == vertices
+    for v in vertices:
+        assert math.isclose(got[v], exp[v], rel_tol=0, abs_tol=1e-6), (
+            v, got[v], exp[v],
+        )
+    assert res.converged and res.termination == "TASK_DEPLETION"
+
+
+def test_pagerank_mass_self_check(spark):
+    """Reference prints total rank as a sanity check
+    (pagerank.cpp:257-258). Unnormalized PR has no fixed mass, but it
+    must be finite and >= 0.15*|V|."""
+    g = build(spark, MULTI_EDGES)
+    res = pagerank(g, tol=1e-8)
+    t = total_rank(res.state)
+    assert t >= 0.15 * len(MULTI_VERTICES)
+    assert t < 10 * len(MULTI_VERTICES)
+
+
+def test_pagerank_fixed_iterations_match(spark):
+    """Fixed 3 supersteps must match the oracle trajectory exactly
+    (allclose 1e-12) — catches any semantic drift in the update."""
+    g = build(spark, REF_EDGES)
+    res = pagerank(g, tol=0.0, max_iterations=3)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = pagerank_oracle(REF_EDGES, REF_VERTICES, tol=0.0, max_iter=3)
+    for v in REF_VERTICES:
+        assert math.isclose(got[v], exp[v], abs_tol=1e-12)
+
+
+# ---------------------------------------------------- Connected components
+@pytest.mark.parametrize(
+    "edges,vertices",
+    [(REF_EDGES, REF_VERTICES), (MULTI_EDGES, MULTI_VERTICES), (PL_EDGES, PL_VERTICES)],
+    ids=["ref5", "multi", "powerlaw300"],
+)
+def test_cc_matches_oracle(spark, edges, vertices):
+    g = build(spark, edges)
+    res = connected_components(g)
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    assert got == cc_oracle(edges, vertices)
+    assert res.converged
+
+
+def test_cc_component_sizes(spark):
+    g = build(spark, MULTI_EDGES)
+    res = connected_components(g)
+    hist = {r["size"]: r["n_components"] for r in component_sizes(res.state).collect()}
+    assert hist == {5: 1, 3: 1, 2: 1}
+
+
+def test_cc_no_cross_component_edges(spark):
+    """Coloring-style invariant (reference validates via
+    map_reduce_edges, simple_coloring.cpp:262): no edge joins two
+    components."""
+    g = build(spark, MULTI_EDGES)
+    res = connected_components(g)
+    lab = res.state.select("id", "component")
+    bad = (
+        g.edges.join(lab.withColumnRenamed("id", "src").withColumnRenamed("component", "cs"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("component", "cd"), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .count()
+    )
+    assert bad == 0
+
+
+# ------------------------------------------------------- Label propagation
+@pytest.mark.parametrize(
+    "edges,vertices",
+    [(REF_EDGES, REF_VERTICES), (MULTI_EDGES, MULTI_VERTICES)],
+    ids=["ref5", "multi"],
+)
+def test_lp_matches_oracle(spark, edges, vertices):
+    g = build(spark, edges)
+    res = label_propagation(g, max_iterations=30)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    exp = lp_oracle(edges, vertices, max_iter=30)
+    assert got == exp
+
+
+def test_lp_trajectory_exact_per_superstep(spark):
+    """Each synchronous superstep must match the oracle exactly —
+    including the smallest-label tie-break and the reciprocal-edge
+    double count."""
+    for k in (1, 2, 3):
+        g = build(spark, MULTI_EDGES)
+        res = label_propagation(g, max_iterations=k)
+        got = {r["id"]: r["label"] for r in res.state.collect()}
+        exp = lp_oracle(MULTI_EDGES, MULTI_VERTICES, max_iter=k)
+        assert got == exp, f"superstep {k}"
+
+
+# --------------------------------------------------------- Triangle count
+@pytest.mark.parametrize(
+    "edges,vertices",
+    [(REF_EDGES, REF_VERTICES), (MULTI_EDGES, MULTI_VERTICES), (PL_EDGES, PL_VERTICES)],
+    ids=["ref5", "multi", "powerlaw300"],
+)
+def test_triangles_match_oracle(spark, edges, vertices):
+    g = build(spark, edges)
+    per_v_df, total = triangle_count(g)
+    got = {r["id"]: r["n_triangles"] for r in per_v_df.collect()}
+    exp_per_v, exp_total = triangles_oracle(edges, vertices)
+    assert total == exp_total
+    assert got == exp_per_v
+
+
+def test_triangles_sum_is_3x_total(spark):
+    g = build(spark, MULTI_EDGES)
+    per_v_df, total = triangle_count(g)
+    s = per_v_df.agg(F.sum("n_triangles")).first()[0]
+    assert s == 3 * total
+
+
+# -------------------------------------------------- parallelism invariance
+def test_parallelism_invariance(spark):
+    """Identical results across different pid counts (the reference's
+    save/load round-trip equality analog + BASELINE requirement that
+    results be parallelism-independent)."""
+    res = {}
+    for P in (2, 8):
+        g = build(spark, MULTI_EDGES, P=P)
+        pr = pagerank(g, tol=1e-9)
+        res[P] = sorted((r["id"], round(r["rank"], 9)) for r in pr.state.collect())
+    assert res[2] == res[8]

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from conftest import REF_EDGES, REF_VERTICES
+from pyspark.sql import functions as F
+
+from powergraph_spark.graph import Graph, vset_and, vset_complement, vset_minus, vset_or
+
+
+def test_ref_fixture_structure(spark):
+    """Replicates /root/reference/tests/test_parsers.cpp:30-76:
+    5 vertices, 7 edges, exact out-neighbor lists."""
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    assert g.num_vertices() == 5
+    assert g.num_edges() == 7
+    out = {
+        r["src"]: sorted(r["nbrs"])
+        for r in g.edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .collect()
+    }
+    assert out == {0: [5], 1: [0, 5], 2: [0, 5], 3: [0, 5]}
+
+
+def test_self_loops_and_dups_removed(spark):
+    """Self-edges are fatal in the reference (local_graph.hpp:341-346);
+    duplicate edges fail finalization (local_graph.hpp:196-199).
+    Our finalize() silently enforces both."""
+    g = Graph.from_pandas(
+        spark, [(1, 1), (1, 2), (1, 2), (2, 3)], num_partitions=4
+    )
+    assert g.num_edges() == 2
+    assert g.num_vertices() == 3
+
+
+def test_degrees(spark):
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    deg = {r["id"]: (r["in_deg"], r["out_deg"]) for r in g.degrees().collect()}
+    assert deg == {0: (3, 1), 1: (0, 2), 2: (0, 2), 3: (0, 2), 5: (4, 0)}
+
+
+def test_pid_deterministic_and_bounded(spark):
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    pids = [r["pid"] for r in g.edges.select("pid").collect()]
+    assert all(0 <= p < 4 for p in pids)
+    # determinism: rebuilding yields identical placement
+    g2 = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    p1 = {(r["src"], r["dst"]): r["pid"] for r in g.edges.collect()}
+    p2 = {(r["src"], r["dst"]): r["pid"] for r in g2.edges.collect()}
+    assert p1 == p2
+
+
+def test_replication_factor_bounds(spark):
+    """grid bound: replication <= 2*sqrt(P)-1 per vertex; rep factor
+    >= 1 (analog of distributed_ingress_base.hpp:545-551)."""
+    rf = Graph.from_pandas(spark, REF_EDGES, num_partitions=4).replication_factor()
+    assert 1.0 <= rf <= 3.0  # 2*sqrt(4)-1 = 3
+
+
+def test_vertex_set_algebra(spark):
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    a = g.select_vertices(F.col("id") < 3)  # {0,1,2}
+    b = g.select_vertices(F.col("id") > 1)  # {2,3,5}
+    ids = lambda df: sorted(r["id"] for r in df.collect())  # noqa: E731
+    assert ids(vset_and(a, b)) == [2]
+    assert ids(vset_or(a, b)) == [0, 1, 2, 3, 5]
+    assert ids(vset_minus(a, b)) == [0, 1]
+    assert ids(vset_complement(g.vertices.select("id"), a)) == [3, 5]
+
+
+def test_neighbors(spark):
+    """1-hop expansion (distributed_graph.hpp:2471-2493)."""
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    f = spark.createDataFrame([(1,)], "id long")
+    ids = lambda df: sorted(r["id"] for r in df.collect())  # noqa: E731
+    assert ids(g.neighbors(f, "out")) == [0, 5]
+    assert ids(g.neighbors(f, "in")) == []
+    f2 = spark.createDataFrame([(0,)], "id long")
+    assert ids(g.neighbors(f2, "in")) == [1, 2, 3]
+    assert ids(g.neighbors(f2, "all")) == [1, 2, 3, 5]
+
+
+def test_map_reduce_vertices_edges(spark):
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    assert g.map_reduce_vertices(F.sum("id")).first()[0] == 11
+    assert g.map_reduce_edges(F.count(F.lit(1))).first()[0] == 7
