@@ -1,6 +1,10 @@
+from .approx_diameter import approx_diameter
+from .coloring import coloring, count_conflicts
 from .connected_components import component_sizes, connected_components
+from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, total_rank
+from .sssp import sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
@@ -12,4 +16,11 @@ __all__ = [
     "label_histogram",
     "triangle_count",
     "triangle_edge_counts",
+    "sssp",
+    "kcore_vertices",
+    "kcore_stats",
+    "coreness",
+    "approx_diameter",
+    "coloring",
+    "count_conflicts",
 ]

@@ -1,0 +1,120 @@
+"""Approximate (effective) diameter via Flajolet-Martin bitmasks.
+
+Reference: /root/reference/toolkits/graph_analytics/approximate_diameter.cpp
+:50-260,330-345. Semantics: every vertex carries R duplicated FM
+bitmasks (bit i set with probability 2^-(i+1), :59-76); each hop every
+vertex ORs in the masks of its OUT neighbors (gather is bitwise-union,
+:96-120); the estimated number of reachable pairs is derived from the
+mean least-unset-bit position over the R masks (:150-170); iteration
+stops when the estimate stops growing (:330-345) — the hop count at
+that point approximates the diameter.
+
+Spark mapping: masks are an array<long> column; the per-hop OR-gather
+is explode(register index) -> groupBy(dst, reg).agg(bit_or) ->
+re-assemble array. All JVM-side; one shuffle pair per hop, identical
+shape to the PageRank superstep.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import Graph
+
+
+_M61 = (1 << 61) - 1  # keep all mask arithmetic well inside int64 (ANSI-safe)
+
+
+def _init_masks(vertices: DataFrame, r: int) -> DataFrame:
+    """bit position = trailing zeros of a per-(vertex, replica) hash —
+    P(bit i) = 2^-(i+1), the FM distribution (approximate_diameter.cpp:59-68).
+    Trailing zeros computed bit-trick style (bit_count((h & -h) - 1)),
+    everything masked to 61 bits so no ANSI overflow is reachable."""
+    def bitpos(reg: int):
+        h61 = F.xxhash64(F.col("id"), F.lit(reg)).bitwiseAND(F.lit(_M61))
+        low = h61.bitwiseAND(-h61)  # lowest set bit (0 if h61 == 0)
+        # low == 0 -> bit_count(-1) = 64, capped below
+        return F.least(F.bit_count(low - 1), F.lit(60)).cast("int")
+
+    masks = [
+        F.shiftleft(F.lit(1).cast("long"), bitpos(reg)).alias(f"m{reg}")
+        for reg in range(r)
+    ]
+    return vertices.select("id", F.array(*masks).alias("masks"))
+
+
+def _fm_count(masks_df: DataFrame, r: int) -> float:
+    """Sum over vertices of the FM estimate from each vertex's masks
+    (approximate_diameter.cpp:150-170): 2^(mean lowest-unset-bit)/0.77351.
+    lowest-unset-bit = trailing-ones count = bit_count(m & ~(m+1))."""
+    exploded = masks_df.select("id", F.explode("masks").alias("m"))
+    mm = F.col("m").bitwiseAND(F.lit(_M61))
+    pos = F.least(F.bit_count(mm.bitwiseAND(~(mm + 1))), F.lit(60)).cast("double")
+    per_vertex = exploded.select("id", pos.alias("b")).groupBy("id").agg(
+        F.avg("b").alias("mean_b")
+    )
+    total = per_vertex.agg(
+        F.sum(F.pow(F.lit(2.0), F.col("mean_b")) / F.lit(0.77351))
+    ).first()[0]
+    return float(total or 0.0)
+
+
+def approx_diameter(
+    graph: Graph,
+    r: int = 10,
+    max_hops: int = 64,
+    tol: float = 0.0,
+    verbose: bool = False,
+) -> tuple[int, list[float]]:
+    """Returns (diameter_estimate, per-hop reachable-pair estimates).
+    Stops when the estimate stops growing (reference uses exact
+    equality of consecutive estimates on converged masks; we stop when
+    relative growth <= tol)."""
+    P = graph.num_partitions
+    edges = graph.edges.select("src", "dst").repartition(P, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges.count()
+    state = _init_masks(graph.vertices, r).persist(StorageLevel.MEMORY_AND_DISK)
+    history = [_fm_count(state, r)]
+    hops = 0
+    for hop in range(1, max_hops + 1):
+        nbr = (
+            edges.join(state, edges.dst == state.id)
+            .select(F.col("src").alias("vid"), F.posexplode("masks").alias("reg", "m"))
+            .groupBy("vid", "reg")
+            .agg(F.bit_or("m").alias("m"))
+            .groupBy("vid")
+            .agg(F.array_sort(F.collect_list(F.struct("reg", "m"))).alias("rm"))
+            .select("vid", F.transform("rm", lambda s: s["m"]).alias("nbr_masks"))
+        )
+        new_state = (
+            state.join(nbr, state.id == nbr.vid, "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("nbr_masks").isNotNull(),
+                    F.zip_with("masks", "nbr_masks", lambda a, b: a.bitwiseOR(b)),
+                ).otherwise(F.col("masks")).alias("masks"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_state = new_state.localCheckpoint(eager=True)
+        state.unpersist()
+        state = new_state
+        est = _fm_count(state, r)
+        if verbose:
+            print(f"[diameter] hop={hop} est={est:.1f}")
+        history.append(est)
+        hops = hop
+        prev = history[-2]
+        if prev > 0 and (est - prev) / prev <= tol:
+            hops = hop - 1
+            break
+    edges.unpersist()
+    state.unpersist()
+    return hops, history

@@ -1,0 +1,122 @@
+"""k-core decomposition.
+
+Reference: /root/reference/toolkits/graph_analytics/kcore.cpp:70-185.
+Semantics: for each K, repeatedly delete vertices whose (undirected)
+degree < K; deletions cascade (deleted vertices message their edge
+counts to neighbors, :96-142). The reference reports per-K surviving
+vertex/edge counts over [kmin, kmax].
+
+Spark mapping: the cascade is an iterative filter + degree recount on
+a shrinking edge set. `coreness` runs the peeling once, recording for
+every vertex the largest K whose core contains it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import Graph
+
+
+def _und_edges(graph: Graph) -> DataFrame:
+    return graph.symmetrized_edges()  # both directions, deduped
+
+
+def kcore_vertices(graph: Graph, k: int, max_iterations: int = 500) -> DataFrame:
+    """Vertex set (id) of the k-core."""
+    edges = _und_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iterations):
+        deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        doomed = deg.filter(F.col("d") < k).select("id")
+        if doomed.isEmpty():
+            break
+        nxt = (
+            edges.join(doomed, edges.src == doomed.id, "left_anti")
+            .join(doomed, edges.dst == doomed.id, "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nxt.count()
+        edges.unpersist()
+        edges = nxt
+    out = edges.select(F.col("src").alias("id")).distinct()
+    return out
+
+
+def kcore_stats(graph: Graph, kmin: int, kmax: int) -> DataFrame:
+    """(k, n_vertices, n_edges) per K — the reference's report
+    (kcore.cpp:159-176). Peels incrementally: the (k+1)-core is
+    computed from the k-core, not from scratch."""
+    spark = graph.edges.sparkSession
+    edges = _und_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = []
+    for k in range(kmin, kmax + 1):
+        while True:
+            deg = edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+            doomed = deg.filter(F.col("d") < k).select("id")
+            if doomed.isEmpty():
+                break
+            nxt = (
+                edges.join(doomed, edges.src == doomed.id, "left_anti")
+                .join(doomed, edges.dst == doomed.id, "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            nxt.count()
+            edges.unpersist()
+            edges = nxt
+        nv = edges.select("src").distinct().count()
+        ne = edges.count() // 2
+        rows.append((k, nv, ne))
+        if nv == 0:
+            break
+    edges.unpersist()
+    return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")
+
+
+def coreness(graph: Graph, kmax: int = 64) -> DataFrame:
+    """(id, coreness): max K such that id is in the K-core. Peeling
+    once, carrying the shrinking edge set across K."""
+    spark = graph.edges.sparkSession
+    edges = _und_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    all_v = graph.vertices.select("id")
+    core = all_v.select("id", F.lit(0).alias("coreness")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for k in range(1, kmax + 1):
+        while True:
+            deg = edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+            doomed = deg.filter(F.col("d") < k).select("id")
+            if doomed.isEmpty():
+                break
+            nxt = (
+                edges.join(doomed, edges.src == doomed.id, "left_anti")
+                .join(doomed, edges.dst == doomed.id, "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            nxt.count()
+            edges.unpersist()
+            edges = nxt
+        survivors = edges.select(F.col("src").alias("id")).distinct()
+        if survivors.isEmpty():
+            break
+        new_core = (
+            core.join(survivors.withColumn("_in", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_in").isNotNull(), k)
+                .otherwise(F.col("coreness")).alias("coreness"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_core.count()
+        core.unpersist()
+        core = new_core
+    edges.unpersist()
+    return core

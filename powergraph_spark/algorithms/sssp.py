@@ -1,0 +1,97 @@
+"""Single-source shortest paths.
+
+Reference: /root/reference/toolkits/graph_analytics/sssp.cpp:96-201.
+Semantics: message = min candidate distance (min_distance_type +=,
+:49-60); apply keeps the min (:118-126); scatter relaxes
+dist + edge.dist and signals improved neighbors (:137-165); source
+dist = 0; unreachable vertices keep infinity. Directed by default
+(--directed, :176-184); edge weight column optional (default 1.0,
+matching init_edge :74-78 when no weights are loaded).
+
+Spark mapping: classic frontier relaxation — messages flow only from
+vertices improved last superstep, so work tracks the frontier exactly
+like the reference's signal set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..gas import GASResult, run_gas
+from ..graph import Graph
+
+INF = float("inf")
+
+
+def sssp(
+    graph: Graph,
+    source: int | None = None,
+    weight_col: str | None = None,
+    directed: bool = True,
+    max_iterations: int = 200,
+    checkpoint=None,
+    checkpoint_interval: int = 8,
+    verbose: bool = False,
+) -> GASResult:
+    """Returns state (id, dist, changed). source=None picks the
+    max-degree vertex (reference's default source selection via
+    map_reduce_vertices, sssp.cpp:185-201; tie -> smallest id)."""
+    P = graph.num_partitions
+    w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
+    e = graph.edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        e = e.unionAll(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+            )
+        )
+    e = e.repartition(P, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    if source is None:
+        deg = graph.degrees()
+        source = (
+            deg.orderBy(F.desc(F.col("in_deg") + F.col("out_deg")), F.asc("id"))
+            .first()["id"]
+        )
+
+    init = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == source, 0.0).otherwise(F.lit(INF)).alias("dist"),
+        (F.col("id") == source).alias("changed"),
+    ).repartition(P, "id")
+
+    def step(g: Graph, state: DataFrame, i: int):
+        frontier = state.filter(F.col("changed")).select("id", "dist")
+        msgs = (
+            e.join(frontier, e.src == frontier.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        new_state = (
+            state.select("id", "dist")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("nd"),
+                "dist",
+            )
+            .select(
+                "id",
+                F.col("nd").alias("dist"),
+                (F.col("nd") < F.col("dist")).alias("changed"),
+            )
+        )
+        active = new_state.filter(F.col("changed")).select("id")
+        return new_state, active
+
+    result = run_gas(
+        graph, init, step,
+        max_iterations=max_iterations,
+        checkpoint=checkpoint, checkpoint_interval=checkpoint_interval,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return result

@@ -1,0 +1,42 @@
+from .dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash,
+    simhash_near_dups,
+    word_shingles,
+)
+from .multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_topk,
+)
+from .text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "exact_dup_groups", "dedup_exact", "word_shingles", "minhash_signature",
+    "minhash_lsh_candidates", "jaccard_pairs", "minhash_dedup",
+    "simhash", "simhash_near_dups",
+    "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dups", "cosine",
+    "token_count", "bpe_token_count", "quality_score", "lang_id",
+    "doc_fingerprint", "text_stats",
+    "synthesize_media", "extract_features", "resize_images", "sample_frames",
+]

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. The dot product runs JVM-side
+  (zip_with + aggregate) so the full cross join is codegen'd; fine as
+  the baseline and as the verifier for the ANN path.
+- lsh_topk: random-hyperplane LSH — each vector gets a sign-bit
+  bucket; top-k is computed within (multi-probe) buckets only. This is
+  the 100 TB path: the cross join never materializes, the bucket join
+  is key-local, and probes trade recall for cost.
+- ivf_topk: IVF-style coarse quantization with deterministic seed
+  centroids: assign each vector to nearest of C centroids, search the
+  nprobe nearest cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = _norm(a) * _norm(b)
+    return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim): exact cosine top-k of each
+    query against all vectors (self excluded). Queries are broadcast —
+    the corpus is never shuffled."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 5).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from n_planes fixed hyperplanes (JVM exprs:
+    one dot product per plane, folded into a bit pattern)."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(vec.cast("array<double>"), arr)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-probe: each query also probes every
+    bucket within hamming distance `probe_radius` of its own (flip-bit
+    expansion on the query side only — the corpus stays single-bucket,
+    so the big side is never exploded). Recall/cost dial:
+    probe_radius=0 is classic single-probe; radius 1 probes
+    n_planes+1 buckets."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    base = _bucket_expr(F.col(vec_col), planes)
+    probe_masks = [0]
+    if probe_radius >= 1:
+        probe_masks += [1 << i for i in range(n_planes)]
+    if probe_radius >= 2:
+        probe_masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.array(*[
+            base.bitwiseXOR(F.lit(m).cast("long")) for m in probe_masks
+        ])).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 5).alias("sim"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: deterministic pseudo-centroids (seeded gaussian), vectors
+    assigned to nearest cell, queries probe `nprobe` nearest cells."""
+    dim = len(vectors.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def cell_sims(vec: Column) -> Column:
+        sims = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        return F.reverse(F.array_sort(F.array(*sims)))
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        F.element_at(cell_sims(F.col(vec_col)), 1)["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(F.transform(cell_sims(F.col(vec_col)), lambda s: s["cell"]),
+                    1, nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 5).alias("sim"))
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed so the
+    pair join is bucket-local. (id_a, id_b, sim)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 5).alias("sim"))
+    )

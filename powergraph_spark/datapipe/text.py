@@ -1,0 +1,137 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are pure JVM column expressions (whole-stage
+codegen; no Python). These extend the reference's capability surface
+per the graft mandate (the reference has no text ops — its payload is
+the link graph; these operate on the same web-page corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic marker-word lists for the n-gram/stopword
+# language heuristic (public common-stopword knowledge).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "de", "es", "por", "con"],
+    "it": ["il", "la", "che", "di", "non", "per", "con", "una"],
+    "pt": ["o", "a", "que", "de", "não", "para", "com", "uma"],
+}
+
+_TOKEN_SPLIT = r"[ \t\n\r\f]+"
+# BPE-ish word/punct segmentation: letter runs, digit runs, single
+# punctuation marks (approximation of byte-level BPE pre-tokenizers).
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty string -> empty array."""
+    t = F.split(F.trim(col), _TOKEN_SPLIT)
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate subword-count: letter runs + digit runs + punct
+    marks (regexp-based, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_TOKEN), 0)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def stopword_ratio(col: Column, lang_markers: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (english-default) stopwords."""
+    markers = lang_markers or LANG_MARKERS["en"]
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.length(col)
+    a = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    return F.when(n > 0, a.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio -
+    punctuation excess. Deterministic, expression-only."""
+    n = F.length(col).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * alpha_ratio(col)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0)))
+    )
+    return F.round(score, 5)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language id: argmax of marker-word hit counts over the
+    token multiset; tie/no-hit -> 'und'. Pure expressions — builds a
+    (lang, hits) struct array and max_by's it."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    scored = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    arr = F.array(*scored)
+    best = F.array_max(F.filter(arr, lambda s: s["hits"] > 0))
+    # array_max on struct: max hits, tie -> lexicographically LARGEST
+    # lang; invert via reverse-sorted build order is fragile, so break
+    # ties by preferring the earliest lang with max hits:
+    maxhits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    first_best = F.element_at(
+        F.filter(arr, lambda s: s["hits"] == maxhits), 1
+    )["lang"]
+    return F.when(maxhits > 0, first_best).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column, shingle_k: int = 5) -> Column:
+    """Document fingerprint: minimum md5 over word 5-gram shingles
+    (winnowing-style rolling selection, deterministic, portable to
+    ANSI SQL for the oracle). Short docs fall back to md5(text)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, shingle_k), " ")
+    )
+    return F.when(
+        n >= shingle_k, F.array_min(F.transform(shingles, F.md5))
+    ).otherwise(F.md5(col))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stat row (all expression-level)."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        F.round(stopword_ratio(c), 5).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 5).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

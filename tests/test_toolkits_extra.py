@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from conftest import REF_EDGES, REF_VERTICES
+from oracles import powerlaw_edges, sssp_oracle
+from pyspark.sql import functions as F
+
+from powergraph_spark.algorithms import (
+    approx_diameter,
+    coloring,
+    coreness,
+    count_conflicts,
+    kcore_stats,
+    kcore_vertices,
+    sssp,
+)
+from powergraph_spark.graph import Graph
+
+MULTI_EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 4),
+    (6, 7), (7, 6), (7, 8), (10, 11),
+]
+MULTI_VERTICES = {1, 2, 3, 4, 5, 6, 7, 8, 10, 11}
+
+
+# ------------------------------------------------------------------- SSSP
+def test_sssp_matches_dijkstra(spark):
+    g = Graph.from_pandas(spark, MULTI_EDGES, num_partitions=4)
+    res = sssp(g, source=1, directed=True)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    exp = sssp_oracle([(s, d, 1.0) for s, d in MULTI_EDGES], MULTI_VERTICES, 1)
+    for v in MULTI_VERTICES:
+        assert (math.isinf(got[v]) and math.isinf(exp[v])) or got[v] == exp[v], v
+
+
+def test_sssp_undirected_and_default_source(spark):
+    g = Graph.from_pandas(spark, REF_EDGES, num_partitions=4)
+    # max total degree is a TIE between 0 and 5 (both 4); the engine's
+    # deterministic tie-break picks the smallest id -> source = 0
+    # (the reference's += max-reducer is merge-order-dependent there,
+    # sssp.cpp:185-201, so determinism is our choice).
+    res = sssp(g, directed=False)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    und = [(s, d, 1.0) for s, d in REF_EDGES] + [(d, s, 1.0) for s, d in REF_EDGES]
+    exp = sssp_oracle(und, REF_VERTICES, 0)
+    assert got == exp
+
+
+def test_sssp_weighted(spark):
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    g = Graph.from_edges(df, num_partitions=2)
+    res = sssp(g, source=1, weight_col="w")
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+# ------------------------------------------------------------------ kcore
+def _py_core(edges, vertices, k):
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    alive = set(vertices)
+    while True:
+        doomed = {v for v in alive if len(adj[v] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return {v for v in alive if len(adj[v] & alive) > 0 or k == 0}
+
+
+def test_kcore_matches_python(spark):
+    edges = powerlaw_edges(120, seed=5)
+    verts = set(range(120))
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    for k in (1, 2, 3):
+        got = {r["id"] for r in kcore_vertices(g, k).collect()}
+        assert got == _py_core(edges, verts, k), k
+
+
+def test_kcore_stats_and_coreness(spark):
+    g = Graph.from_pandas(spark, MULTI_EDGES, num_partitions=4)
+    stats = {r["k"]: (r["n_vertices"], r["n_edges"]) for r in
+             kcore_stats(g, 1, 3).collect()}
+    assert stats[2][0] == 5  # the 1-2-3-4-5 cluster is the 2-core
+    core = {r["id"]: r["coreness"] for r in coreness(g, kmax=4).collect()}
+    exp = {}
+    for v in MULTI_VERTICES:
+        exp[v] = 0
+        for k in range(1, 5):
+            if v in _py_core(MULTI_EDGES, MULTI_VERTICES, k):
+                exp[v] = k
+    assert core == exp
+
+
+# --------------------------------------------------------------- coloring
+def test_coloring_valid(spark):
+    for edges in (REF_EDGES, MULTI_EDGES, powerlaw_edges(150, seed=3)):
+        g = Graph.from_pandas(spark, edges, num_partitions=4)
+        colors = coloring(g)
+        assert count_conflicts(g, colors) == 0
+        assert colors.filter(F.col("color").isNull()).count() == 0
+
+
+def test_coloring_deterministic(spark):
+    g1 = Graph.from_pandas(spark, MULTI_EDGES, num_partitions=2)
+    g2 = Graph.from_pandas(spark, MULTI_EDGES, num_partitions=8)
+    c1 = sorted(tuple(r) for r in coloring(g1).collect())
+    c2 = sorted(tuple(r) for r in coloring(g2).collect())
+    assert c1 == c2
+
+
+# ----------------------------------------------------------- approx diam
+def test_approx_diameter_path_graph(spark):
+    # directed path 0->1->...->9: diameter ~9 hops until masks stabilize
+    path = [(i, i + 1) for i in range(9)]
+    g = Graph.from_pandas(spark, path, num_partitions=2)
+    hops, history = approx_diameter(g, r=8, max_hops=20)
+    assert 7 <= hops <= 11
+    assert history[-1] >= history[0]
+
+
+def test_approx_diameter_star(spark):
+    star = [(0, i) for i in range(1, 12)]
+    g = Graph.from_pandas(spark, star, num_partitions=2)
+    hops, _ = approx_diameter(g, r=8, max_hops=10)
+    assert hops <= 2
