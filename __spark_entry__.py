@@ -199,6 +199,98 @@ def q_select_vset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_reduce_vertices/edges global aggregation
+    (distributed_graph.hpp:966-1170): one-row graph summary."""
+    g = _co_graph(spark, sf_dir)
+    nv = g.vertices.count()
+    ne = g.edges.count()
+    deg = g.degrees().agg(
+        F.sum(F.col("in_deg") + F.col("out_deg")).alias("sum_deg"),
+        F.max(F.col("in_deg") + F.col("out_deg")).alias("max_deg"),
+    ).first()
+    return spark.createDataFrame(
+        [(nv, ne, int(deg["sum_deg"]), int(deg["max_deg"]))],
+        "n_vertices long, n_edges long, sum_degree long, max_degree long",
+    )
+
+
+def q_vset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vertex_set boolean algebra (vertex_set.hpp:267-430): sizes of
+    A&B, A|B, A-B for A = odd ids, B = degree>20."""
+    from powergraph_spark.graph import vset_and, vset_minus, vset_or
+
+    g = _co_graph(spark, sf_dir)
+    a = g.select_vertices(F.col("id") % 2 == 1)
+    deg = g.degrees()
+    b = deg.filter((F.col("in_deg") + F.col("out_deg")) > 20).select("id")
+    return spark.createDataFrame(
+        [(vset_and(a, b).count(), vset_or(a, b).count(), vset_minus(a, b).count())],
+        "n_and long, n_or long, n_minus long",
+    )
+
+
+def q_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSSP (sssp.cpp:96-201), undirected hop distances from the
+    min-id vertex; unreachable omitted (finite rows only so the SQL
+    oracle is expressible)."""
+    from powergraph_spark.algorithms import sssp as sssp_fn
+
+    g = _co_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).first()[0]
+    res = sssp_fn(g, source=int(source), directed=False, max_iterations=40)
+    out = (
+        res.state.filter(~F.isnan("dist") & (F.col("dist") != float("inf")))
+        .select("id", F.col("dist").cast("long").alias("hops"))
+        .orderBy("id")
+    )
+    g.unpersist()
+    return out
+
+
+def q_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core vertex set (kcore.cpp:70-185) — iterative peel; no SQL
+    oracle (fixpoint with aggregates), driver records rows-only."""
+    from powergraph_spark.algorithms import kcore_vertices
+
+    g = _co_graph(spark, sf_dir)
+    return kcore_vertices(g, 2).orderBy("id")
+
+
+def q_coloring_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coloring + the reference's own validation
+    (simple_coloring.cpp:262): monochromatic-edge count MUST be 0, so
+    the oracle is the constant 0 — this checks the engine produces a
+    valid coloring, exactly the reference's self-check."""
+    from powergraph_spark.algorithms import coloring, count_conflicts
+
+    g = _co_graph(spark, sf_dir)
+    colors = coloring(g)
+    return spark.createDataFrame(
+        [(count_conflicts(g, colors),)], "n_conflicts long"
+    )
+
+
+def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-bitmask approximate diameter (approximate_diameter.cpp) —
+    rows-only (probabilistic estimate)."""
+    from powergraph_spark.algorithms import approx_diameter
+
+    g = _co_graph(spark, sf_dir)
+    hops, _ = approx_diameter(g, r=8, max_hops=32)
+    return spark.createDataFrame([(hops,)], "diameter_hops long")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (rows-only; recall vs brute force gated in
+    pytest)."""
+    from powergraph_spark.datapipe import lsh_topk
+
+    vecs = _load(spark, sf_dir, "embeddings")
+    qs = vecs.filter(F.col("vec_id") < 5)
+    return lsh_topk(vecs, qs, k=5, n_planes=6).orderBy("query_id", "rank")
+
+
 # --------------------------------------------- training-data pipeline ops
 
 
@@ -292,6 +384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_hop": q_neighbors_hop,
         "vertex_join": q_vertex_join,
         "select_vset": q_select_vset,
+        "graph_stats": q_graph_stats,
+        "vset_ops": q_vset_ops,
+        "sssp_hops": q_sssp_hops,
+        "kcore2": q_kcore2,
+        "coloring_conflicts": q_coloring_conflicts,
+        "approx_diameter": q_approx_diameter,
+        "lsh_topk": q_lsh_topk,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "exact_dup_groups": q_exact_dup_groups,
@@ -459,6 +558,38 @@ ORDER BY p.p_brand
 WITH {E},
 dc AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src)
 SELECT id FROM dc WHERE degree > 40 ORDER BY id
+""",
+        "graph_stats": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)
+SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT SUM(d) FROM deg) AS sum_degree,
+       (SELECT MAX(d) FROM deg) AS max_degree
+""",
+        "vset_ops": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+a AS (SELECT id FROM v WHERE id % 2 = 1),
+b AS (SELECT id FROM deg WHERE d > 20)
+SELECT (SELECT COUNT(*) FROM (SELECT id FROM a INTERSECT SELECT id FROM b)) AS n_and,
+       (SELECT COUNT(*) FROM (SELECT id FROM a UNION SELECT id FROM b)) AS n_or,
+       (SELECT COUNT(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b)) AS n_minus
+""",
+        "sssp_hops": f"""
+WITH RECURSIVE {E},
+seed AS (SELECT MIN(id) AS id FROM v),
+walk(id, hops) AS (
+  SELECT id, 0 FROM seed
+  UNION
+  SELECT und.dst, walk.hops + 1
+  FROM walk JOIN und ON und.src = walk.id
+  WHERE walk.hops < 39
+)
+SELECT id, MIN(hops)::BIGINT AS hops FROM walk GROUP BY id ORDER BY id
+""",
+        "coloring_conflicts": """
+SELECT CAST(0 AS BIGINT) AS n_conflicts
 """,
         "text_stats": """
 SELECT doc_id,

@@ -1,6 +1,7 @@
 from .approx_diameter import approx_diameter
 from .coloring import coloring, count_conflicts
 from .connected_components import component_sizes, connected_components
+from .eigen import top_eigenvector
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, total_rank
@@ -23,4 +24,5 @@ __all__ = [
     "approx_diameter",
     "coloring",
     "count_conflicts",
+    "top_eigenvector",
 ]

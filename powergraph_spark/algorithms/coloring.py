@@ -56,7 +56,7 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
                    > F.struct(F.col("max_nprio").alias("prio"),
                               F.col("max_nid").alias("id")))
             )
-            .select("id")
+            .select(F.col("id").alias("wid"))
         )
         # min free color among already-colored neighbors
         used = (
@@ -64,10 +64,11 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
                 state.filter(F.col("color").isNotNull())
                 .select(F.col("id").alias("src"), F.col("color").alias("nc")),
                 "src")
-            .join(winners, sym.dst == winners.id)
-            .groupBy(winners.id)
+            .join(winners, sym.dst == F.col("wid"))
+            .groupBy("wid")
             .agg(F.collect_set("nc").alias("used"))
-        )
+        ).withColumnRenamed("wid", "id")
+        winners = winners.withColumnRenamed("wid", "id")
         free = F.coalesce(
             F.element_at(
                 F.filter(

@@ -31,6 +31,7 @@ def connected_components(
     max_iterations: int = 200,
     checkpoint: CheckpointStore | None = None,
     checkpoint_interval: int = 4,
+    check_interval: int = 1,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -71,8 +72,7 @@ def connected_components(
                 (F.col("new_component") < F.col("component")).alias("changed"),
             )
         )
-        active = new_state.filter(F.col("changed")).select("id")
-        return new_state, active
+        return new_state, lambda df: df.filter("changed").select("id")
 
     result = run_gas(
         graph,
@@ -81,6 +81,7 @@ def connected_components(
         max_iterations=max_iterations,
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
         resume=resume,
         verbose=verbose,
     )

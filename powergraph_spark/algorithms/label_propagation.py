@@ -31,6 +31,7 @@ def label_propagation(
     max_iterations: int = 100,
     checkpoint: CheckpointStore | None = None,
     checkpoint_interval: int = 4,
+    check_interval: int = 1,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -90,8 +91,7 @@ def label_propagation(
                 (F.col("new_label") != F.col("label")).alias("changed"),
             )
         )
-        active = new_state.filter(F.col("changed")).select("id")
-        return new_state, active
+        return new_state, lambda df: df.filter("changed").select("id")
 
     result = run_gas(
         graph,
@@ -100,6 +100,7 @@ def label_propagation(
         max_iterations=max_iterations,
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
         resume=resume,
         verbose=verbose,
     )

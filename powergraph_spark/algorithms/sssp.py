@@ -33,6 +33,7 @@ def sssp(
     max_iterations: int = 200,
     checkpoint=None,
     checkpoint_interval: int = 8,
+    check_interval: int = 1,
     verbose: bool = False,
 ) -> GASResult:
     """Returns state (id, dist, changed). source=None picks the
@@ -84,13 +85,13 @@ def sssp(
                 (F.col("nd") < F.col("dist")).alias("changed"),
             )
         )
-        active = new_state.filter(F.col("changed")).select("id")
-        return new_state, active
+        return new_state, lambda df: df.filter("changed").select("id")
 
     result = run_gas(
         graph, init, step,
         max_iterations=max_iterations,
         checkpoint=checkpoint, checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
         verbose=verbose,
     )
     e.unpersist()

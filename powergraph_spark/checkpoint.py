@@ -58,10 +58,13 @@ class CheckpointStore:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         state.write.mode("overwrite").parquet(tmp)
-        # per-partition lineage: physical partition -> row count
+        # per-partition lineage: physical partition -> row count,
+        # computed from the just-written files (NOT from `state`, whose
+        # plan would re-execute the whole superstep a second time)
+        written = self.spark.read.parquet(tmp)
         lineage = [
             {"partition": int(r["p"]), "rows": int(r["n"])}
-            for r in state.groupBy(F.spark_partition_id().alias("p"))
+            for r in written.groupBy(F.spark_partition_id().alias("p"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         ]

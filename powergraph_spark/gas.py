@@ -16,13 +16,15 @@ Termination: active set empty (TASK_DEPLETION,
 synchronous_engine.hpp:1359-1368), max_iterations, or timeout
 (engine options at synchronous_engine.hpp:986-1059).
 
-Spark-specific discipline: iterative DataFrame loops grow lineage
-without bound; every superstep the new state is persisted and the old
-unpersisted, and every ``checkpoint_interval`` supersteps the state is
-committed to the checkpoint store and re-read (plan truncation +
-durable resume point — strictly stronger than the reference's
-save_binary snapshot, which requires the same machine count to reload,
-distributed_graph.hpp:1720-1833; ours resumes at any parallelism).
+Execution discipline (measured, see BENCH notes): each superstep is
+materialized EXACTLY ONCE — either by a durable checkpoint commit or
+by an eager localCheckpoint — and the frontier/convergence checks then
+run against the materialized RDD (cheap scans). This both truncates
+the logical plan every superstep (the #1 Spark iterative-loop pitfall:
+unbounded lineage) and avoids the cache-miss re-execution blowup that
+a persist-only chain exhibits under AQE. Per-superstep cost is one
+job: scatter join (state broadcast when small, shuffle otherwise) +
+gather partial/final agg + apply projection.
 """
 
 from __future__ import annotations
@@ -33,10 +35,14 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import CheckpointStore
 from .graph import Graph
+
+# step_fn returns (new_state, frontier_builder | None); the builder is
+# applied to the MATERIALIZED state so frontier counting never re-runs
+# the superstep plan.
+FrontierFn = Callable[[DataFrame], DataFrame]
 
 
 @dataclass
@@ -71,7 +77,7 @@ class GASResult:
 def run_gas(
     graph: Graph,
     init_state: DataFrame,
-    step_fn: Callable[[Graph, DataFrame, int], tuple[DataFrame, DataFrame | None]],
+    step_fn: Callable[[Graph, DataFrame, int], tuple[DataFrame, FrontierFn | None]],
     *,
     convergence_fn: Callable[[DataFrame, DataFrame], tuple[int, float]] | None = None,
     tol: float = 0.0,
@@ -79,30 +85,40 @@ def run_gas(
     timeout_sec: float | None = None,
     checkpoint: CheckpointStore | None = None,
     checkpoint_interval: int = 1,
+    check_interval: int = 1,
+    aggregators: dict[str, list] | None = None,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
     """Run the superstep loop to TASK_DEPLETION / max_iterations.
 
-    ``step_fn(graph, state, i) -> (new_state, active_or_None)``
-        one full gather-apply-scatter superstep expressed in DataFrame
-        ops; ``active`` is an optional slim frontier DataFrame whose
-        emptiness terminates the loop (signal semantics).
+    ``step_fn(graph, state, i) -> (new_state, frontier_fn_or_None)``
+        one gather-apply-scatter superstep as DataFrame ops;
+        ``frontier_fn(materialized_state)`` returns the slim active set
+        whose emptiness terminates the loop (signal semantics).
     ``convergence_fn(old_state, new_state) -> (active_count, metric)``
-        used when step_fn returns no frontier: delta-based convergence
-        (scatter's signal-if-|delta|>tol, e.g. pagerank.cpp:124-135).
-        Terminates when active_count == 0 or metric <= tol.
+        used when step_fn returns no frontier builder: delta-based
+        convergence (scatter's signal-if-|delta|>tol, pagerank.cpp:
+        124-135). Terminates when active_count == 0 or metric <= tol.
+    ``check_interval=k`` evaluates termination only every k supersteps
+        (states still materialize every superstep). Safe for fixpoint
+        algorithms; termination may overshoot by at most k-1 steps.
+    ``aggregators``: {name: [agg Columns over state]} — the reference's
+        add_vertex_aggregator / aggregate_periodic surface
+        (/root/reference/src/graphlab/aggregation/distributed_aggregator.hpp:
+        396,595; engine tick at synchronous_engine.hpp:1414). Evaluated
+        at every termination check ("periodic" == every check_interval
+        supersteps — wall-clock periodicity is meaningless in BSP) and
+        recorded in the metrics stream.
     """
     t_start = time.time()
-    state = init_state.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()  # materialize
+    state = init_state.localCheckpoint(eager=True)
     start_step = 0
 
     if resume and checkpoint is not None:
         resumed = checkpoint.latest()
         if resumed is not None:
             start_step, state = resumed
-            state = state.persist(StorageLevel.MEMORY_AND_DISK)
             if verbose:
                 print(f"[gas] resumed at superstep {start_step}")
 
@@ -112,42 +128,46 @@ def run_gas(
     i = start_step
     while i < max_iterations:
         t0 = time.time()
-        new_state, active = step_fn(graph, state, i)
-        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-
-        if active is not None:
-            n_active = active.count()
-            metric = float(n_active)
-        elif convergence_fn is not None:
-            n_active, metric = convergence_fn(state, new_state)
-        else:
-            n_active, metric = new_state.count(), float("inf")
-
+        new_state, frontier_fn = step_fn(graph, state, i)
         i += 1
-        # snapshot_interval analog (synchronous_engine.hpp:1418-1420):
-        # durable state + per-partition lineage + metrics, then re-read
-        # to truncate the logical plan.
-        if checkpoint is not None and (
-            i % checkpoint_interval == 0 or n_active == 0 or metric <= tol
-        ):
-            m = SuperstepMetrics(i, n_active, metric, time.time() - t0)
-            new_state = checkpoint.commit(i, new_state, m)
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # materialize exactly once (durable or local)
+        durable_due = checkpoint is not None and i % checkpoint_interval == 0
+        if durable_due:
+            pre = SuperstepMetrics(i, -1, float("nan"), time.time() - t0)
+            new_state = checkpoint.commit(i, new_state, pre)
         else:
-            # plan truncation without durability
             new_state = new_state.localCheckpoint(eager=True)
-
-        state.unpersist()
         state = new_state
-        m = SuperstepMetrics(i, n_active, metric, time.time() - t0)
-        metrics.append(m)
-        if verbose:
-            print(f"[gas] {m.to_json()}")
 
-        if n_active == 0 or (tol > 0 and metric <= tol):
-            converged = True
-            termination = "TASK_DEPLETION"
-            break
+        # termination check (cheap scans over the materialized state)
+        if i % check_interval == 0 or i >= max_iterations:
+            if frontier_fn is not None:
+                n_active = frontier_fn(state).count()
+                metric = float(n_active)
+            elif convergence_fn is not None:
+                n_active, metric = convergence_fn(None, state)
+            else:
+                n_active, metric = state.count(), float("inf")
+
+            extras = {}
+            if aggregators:
+                for name, cols in aggregators.items():
+                    row = state.agg(*cols).first()
+                    extras[name] = list(row) if len(row) > 1 else row[0]
+
+            m = SuperstepMetrics(i, n_active, metric, time.time() - t0, extras)
+            metrics.append(m)
+            if verbose:
+                print(f"[gas] {m.to_json()}")
+
+            if n_active == 0 or (tol > 0 and metric <= tol):
+                converged = True
+                termination = "TASK_DEPLETION"
+                # make sure the terminal state is durably committed
+                if checkpoint is not None and not durable_due:
+                    state = checkpoint.commit(i, state, m)
+                break
         if timeout_sec is not None and time.time() - t_start > timeout_sec:
             termination = "TIMEOUT"
             break

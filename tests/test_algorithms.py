@@ -180,3 +180,38 @@ def test_parallelism_invariance(spark):
         pr = pagerank(g, tol=1e-9)
         res[P] = sorted((r["id"], round(r["rank"], 9)) for r in pr.state.collect())
     assert res[2] == res[8]
+
+
+# ------------------------------------------------- execution-mode variants
+def test_pagerank_csr_mode_differential(spark):
+    """North-star CSR Arrow kernel must match the Catalyst hash-agg
+    path bit-for-bit-ish (same float sum order is not guaranteed, so
+    1e-12 tolerance)."""
+    g = build(spark, PL_EDGES)
+    a = pagerank(g, tol=1e-9, max_iterations=60)
+    b = pagerank(g, tol=1e-9, max_iterations=60, mode="csr")
+    ra = {r["id"]: r["rank"] for r in a.state.collect()}
+    rb = {r["id"]: r["rank"] for r in b.state.collect()}
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert math.isclose(ra[k], rb[k], abs_tol=1e-12), k
+
+
+def test_pagerank_check_interval_equivalent(spark):
+    """check_interval overshoots termination by <k supersteps; final
+    state must still be within tol of the per-step-checked run."""
+    g = build(spark, MULTI_EDGES)
+    a = pagerank(g, tol=1e-8, max_iterations=100)
+    b = pagerank(g, tol=1e-8, max_iterations=100, check_interval=4)
+    ra = {r["id"]: r["rank"] for r in a.state.collect()}
+    rb = {r["id"]: r["rank"] for r in b.state.collect()}
+    for k in ra:
+        assert math.isclose(ra[k], rb[k], abs_tol=1e-7), k
+
+
+def test_cc_check_interval_exact(spark):
+    g = build(spark, MULTI_EDGES)
+    a = connected_components(g)
+    b = connected_components(g, check_interval=3)
+    assert sorted((r["id"], r["component"]) for r in a.state.collect()) == \
+           sorted((r["id"], r["component"]) for r in b.state.collect())

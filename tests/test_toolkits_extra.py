@@ -129,3 +129,31 @@ def test_approx_diameter_star(spark):
     g = Graph.from_pandas(spark, star, num_partitions=2)
     hops, _ = approx_diameter(g, r=8, max_hops=10)
     assert hops <= 2
+
+
+# ------------------------------------------------------------- eigenvector
+def test_top_eigenvector_matches_numpy(spark):
+    import numpy as np
+    from powergraph_spark.algorithms import top_eigenvector
+
+    edges = powerlaw_edges(80, seed=11)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    ids = sorted(r["id"] for r in g.vertices.collect())
+    ix = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in edges:
+        if s in ix and d in ix:
+            A[ix[s], ix[d]] = 1.0
+            A[ix[d], ix[s]] = 1.0
+    w, V = np.linalg.eigh(A)
+    lam_np = w[-1]
+    v_np = V[:, -1]
+    v_np = v_np / np.linalg.norm(v_np)
+
+    vec, lam = top_eigenvector(g, max_iterations=300, tol=1e-10)
+    assert abs(lam - lam_np) < 1e-4
+    got = {r["id"]: r["v"] for r in vec.collect()}
+    gv = np.array([got[v] for v in ids])
+    if np.dot(gv, v_np) < 0:
+        gv = -gv
+    assert np.allclose(gv, v_np, atol=1e-3)
