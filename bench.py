@@ -46,7 +46,8 @@ def _ensure_pages(spark):
     return spark.read.parquet(PAGES_CACHE)
 
 
-def flagship_pagerank(spark, tol: float = 1e-6):
+def flagship_pagerank(spark, tol: float = 1e-6, num_partitions: int | None = None,
+                      check_interval: int = 1):
     """pages -> extract -> ingest -> PageRank to convergence.
     Returns (wall_sec, edges, supersteps, checksum)."""
     from pyspark.sql import functions as F
@@ -56,9 +57,11 @@ def flagship_pagerank(spark, tol: float = 1e-6):
 
     pages = _ensure_pages(spark)
     t0 = time.time()
-    g = pages_to_graph(pages, num_partitions=CPUS, salt_cap=65536)
+    g = pages_to_graph(pages, num_partitions=num_partitions or CPUS,
+                       salt_cap=65536)
     n_edges = g.num_edges()
-    res = pagerank(g, tol=tol, max_iterations=200)
+    res = pagerank(g, tol=tol, max_iterations=200,
+                   check_interval=check_interval)
     checksum = float(res.state.agg(F.sum("rank")).first()[0])
     wall = time.time() - t0
     g.unpersist()
@@ -112,17 +115,27 @@ def run_suite() -> dict:
     }
 
 
+SCALING_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "64"))
+
+
 def run_flagship_once(cpus: int) -> dict:
-    """Subprocess entry: one flagship run at a given parallelism."""
+    """Subprocess entry: one flagship run at a given parallelism.
+
+    The PLAN is held fixed across cluster sizes (shuffle partitions =
+    SCALING_PARTITIONS regardless of cores) — exactly how a production
+    job scales executors under a fixed partitioning — so the N->4N
+    comparison isolates execution parallelism, not plan differences.
+    """
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     from powergraph_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=SCALING_PARTITIONS)
     global CPUS
     CPUS = cpus
-    wall, n_edges, steps, checksum = flagship_pagerank(spark)
+    wall, n_edges, steps, checksum = flagship_pagerank(
+        spark, num_partitions=SCALING_PARTITIONS, check_interval=5)
     return {
         "cpus": cpus, "wall_sec": round(wall, 3), "edges": n_edges,
         "supersteps": steps,
@@ -137,20 +150,14 @@ def hardware_ceiling() -> dict:
     A single-JVM local[k] sandbox shares one memory bus, so 4x threads
     never yields 4x shuffle bandwidth; the north rule's N->4N criterion
     is reported both raw and normalized against this ceiling."""
-    import multiprocessing as mp
-
-    def burn(_):
-        x = 0
-        for i in range(20_000_000):
-            x += i
-        return x
-
+    code = "x=0\nfor i in range(20_000_000): x+=i"
     out = {}
     for n in (1, 2, 8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.time()
-            p.map(burn, range(n))
-            out[n] = time.time() - t0
+        t0 = time.time()
+        ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n)]
+        for p in ps:
+            p.wait()
+        out[n] = time.time() - t0
     return {
         f"effective_cores_at_{n}": round(n * out[1] / out[n], 2)
         for n in (2, 8, 32)

@@ -34,17 +34,13 @@ def _init_masks(vertices: DataFrame, r: int) -> DataFrame:
     P(bit i) = 2^-(i+1), the FM distribution (approximate_diameter.cpp:59-68).
     Trailing zeros computed bit-trick style (bit_count((h & -h) - 1)),
     everything masked to 61 bits so no ANSI overflow is reachable."""
-    def bitpos(reg: int):
-        h61 = F.xxhash64(F.col("id"), F.lit(reg)).bitwiseAND(F.lit(_M61))
-        low = h61.bitwiseAND(-h61)  # lowest set bit (0 if h61 == 0)
-        # low == 0 -> bit_count(-1) = 64, capped below
-        return F.least(F.bit_count(low - 1), F.lit(60)).cast("int")
+    def mask_sql(reg: int) -> str:
+        h = f"(xxhash64(id, {reg}) & {_M61}L)"
+        pos = f"least(bit_count(({h} & -{h}) - 1), 60)"
+        return f"shiftleft(1L, cast({pos} as int))"
 
-    masks = [
-        F.shiftleft(F.lit(1).cast("long"), bitpos(reg)).alias(f"m{reg}")
-        for reg in range(r)
-    ]
-    return vertices.select("id", F.array(*masks).alias("masks"))
+    masks = ", ".join(mask_sql(reg) for reg in range(r))
+    return vertices.selectExpr("id", f"array({masks}) AS masks")
 
 
 def _fm_count(masks_df: DataFrame, r: int) -> float:
@@ -52,9 +48,13 @@ def _fm_count(masks_df: DataFrame, r: int) -> float:
     (approximate_diameter.cpp:150-170): 2^(mean lowest-unset-bit)/0.77351.
     lowest-unset-bit = trailing-ones count = bit_count(m & ~(m+1))."""
     exploded = masks_df.select("id", F.explode("masks").alias("m"))
-    mm = F.col("m").bitwiseAND(F.lit(_M61))
-    pos = F.least(F.bit_count(mm.bitwiseAND(~(mm + 1))), F.lit(60)).cast("double")
-    per_vertex = exploded.select("id", pos.alias("b")).groupBy("id").agg(
+    # trailing-ones count: bit_count(m & ~(m+1)); SQL-string ~ is
+    # bitwise NOT (the PySpark Column ~ operator is boolean NOT).
+    pos = (
+        f"cast(least(bit_count((m & {_M61}L) & ~((m & {_M61}L) + 1)), 60) "
+        "as double)"
+    )
+    per_vertex = exploded.selectExpr("id", f"{pos} AS b").groupBy("id").agg(
         F.avg("b").alias("mean_b")
     )
     total = per_vertex.agg(

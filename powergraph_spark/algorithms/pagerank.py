@@ -95,11 +95,18 @@ def pagerank(
         # reference semantics) — filtering them also shrinks the join
         # input. selectExpr keeps driver-side plan building cheap (one
         # py4j call vs dozens — measurable at ~85 supersteps).
+        #
+        # shuffle_hash hint: state and edges are co-partitioned on the
+        # join key (state by id from the previous apply, edges by src at
+        # setup), so SHJ runs with ZERO exchange. Without the hint AQE
+        # converts this to a broadcast join — a DRIVER-SERIAL collect +
+        # rebuild of |V| rows every superstep, which flatlines scaling
+        # (measured: ~4s/superstep at 1M vertices regardless of cores).
         return (
             edges.join(
                 state.filter("out_deg > 0").selectExpr(
                     "id", "rank / out_deg AS c"
-                ),
+                ).hint("shuffle_hash"),
                 edges.src == F.col("id"),
             )
             .groupBy(F.col("dst").alias("id"))
@@ -139,7 +146,7 @@ def pagerank(
     upd = f"{RESET_PROB} + {damping} * coalesce(gathered, 0.0)"
 
     def step(g: Graph, state: DataFrame, i: int):
-        contrib = gather(state)
+        contrib = gather(state).hint("shuffle_hash")
         new_state = state.join(contrib, "id", "left").selectExpr(
             "id",
             f"{upd} AS rank",
