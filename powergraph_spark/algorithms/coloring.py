@@ -29,10 +29,15 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
         StorageLevel.MEMORY_AND_DISK
     )
     sym.count()
+    # co-partition state with the gather joins (hash by id == the join
+    # key); filters below preserve the partitioning, so the hinted
+    # shuffle-hash joins run with zero exchange on the state side —
+    # the same discipline as pagerank.py (AQE otherwise broadcasts the
+    # |V|-row uncolored set every wave).
     state = graph.vertices.select(
         "id", F.lit(None).cast("int").alias("color"),
         F.xxhash64("id").alias("prio"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition(P, "id").persist(StorageLevel.MEMORY_AND_DISK)
 
     for it in range(max_iterations):
         uncolored = state.filter(F.col("color").isNull())
@@ -42,7 +47,8 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
         nbr_prio = (
             sym.join(
                 uncolored.select(F.col("id").alias("src"),
-                                 F.col("prio").alias("nprio")), "src")
+                                 F.col("prio").alias("nprio"))
+                .hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.max(F.struct("nprio", F.col("src").alias("nid"))).alias("mx"))
             .select("id", F.col("mx.nprio").alias("max_nprio"),
@@ -62,7 +68,8 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
         used = (
             sym.join(
                 state.filter(F.col("color").isNotNull())
-                .select(F.col("id").alias("src"), F.col("color").alias("nc")),
+                .select(F.col("id").alias("src"), F.col("color").alias("nc"))
+                .hint("shuffle_hash"),
                 "src")
             .join(winners, sym.dst == F.col("wid"))
             .groupBy("wid")
@@ -83,7 +90,7 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
             .select("id", F.coalesce(free, F.lit(0)).alias("new_color"))
         )
         new_state = (
-            state.join(newly, "id", "left")
+            state.join(newly.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.coalesce("color", F.col("new_color")).alias("color"),

@@ -32,6 +32,7 @@ def connected_components(
     checkpoint: CheckpointStore | None = None,
     checkpoint_interval: int = 4,
     check_interval: int = 1,
+    plan_hook=None,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -50,15 +51,21 @@ def connected_components(
     ).repartition(P, "id")
 
     def step(g: Graph, state: DataFrame, i: int):
+        # shuffle_hash hints (same discipline as pagerank.py): the
+        # frontier inherits state's hash(id) partitioning (filter
+        # preserves it) and sym is hashed by src, so the scatter SHJ
+        # runs with zero exchange; without the hint AQE broadcasts the
+        # frontier — at superstep 0 the frontier IS |V|, a driver-
+        # serial collect+rebuild that flatlines scaling at web scale.
         frontier = state.filter(F.col("changed")).select("id", "component")
         msgs = (
-            sym.join(frontier, sym.src == frontier.id)
+            sym.join(frontier.hint("shuffle_hash"), sym.src == frontier.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("received"))
         )
         new_state = (
             state.select("id", "component")
-            .join(msgs, "id", "left")
+            .join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(
@@ -78,10 +85,14 @@ def connected_components(
         graph,
         init,
         step,
+        observe_aggs=lambda: [
+            F.sum(F.col("changed").cast("long")).alias("active")
+        ],
         max_iterations=max_iterations,
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
+        plan_hook=plan_hook,
         resume=resume,
         verbose=verbose,
     )

@@ -66,9 +66,12 @@ def label_propagation(
     init = init.repartition(P, "id")
 
     def step(g: Graph, state: DataFrame, i: int):
+        # zero-exchange SHJ: state hash(id) x sym hash(src) are
+        # co-partitioned; the hint stops AQE from broadcasting |V|
+        # rows of label state every superstep (see pagerank.py).
         cur = state.select("id", "label")
         counts = (
-            sym.join(cur, sym.src == cur.id)
+            sym.join(cur.hint("shuffle_hash"), sym.src == cur.id)
             .groupBy(F.col("dst").alias("id"), F.col("label").alias("nbr_label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -79,7 +82,7 @@ def label_propagation(
                            F.col("nbr_label").alias("lbl"))).alias("b")
         ).select("id", F.col("b.lbl").alias("best_label"))
         new_state = (
-            cur.join(best, "id", "left")
+            cur.join(best.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.coalesce("best_label", F.col("label")).alias("new_label"),
@@ -97,6 +100,9 @@ def label_propagation(
         graph,
         init,
         step,
+        observe_aggs=lambda: [
+            F.sum(F.col("changed").cast("long")).alias("active")
+        ],
         max_iterations=max_iterations,
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,

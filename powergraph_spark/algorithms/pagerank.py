@@ -155,18 +155,20 @@ def pagerank(
         )
         return new_state, None
 
-    def convergence(old: DataFrame, new: DataFrame):
-        row = new.agg(
-            F.max("delta").alias("md"),
-            F.sum(F.when(F.col("delta") > tol, 1).otherwise(0)).alias("na"),
-        ).first()
-        return int(row["na"] or 0), float(row["md"] or 0.0)
+    # convergence is observed on the superstep's own materialization
+    # job (DataFrame.observe -> accumulators): zero extra jobs/scans.
+    def observe_aggs():
+        return [
+            F.sum(F.when(F.col("delta") > tol, 1).otherwise(0))
+            .cast("long").alias("active"),
+            F.max("delta").alias("metric"),
+        ]
 
     result = run_gas(
         graph,
         init,
         step,
-        convergence_fn=convergence,
+        observe_aggs=observe_aggs,
         tol=tol,
         max_iterations=max_iterations,
         checkpoint=checkpoint,

@@ -65,15 +65,18 @@ def sssp(
     ).repartition(P, "id")
 
     def step(g: Graph, state: DataFrame, i: int):
+        # zero-exchange SHJ on co-partitioned frontier/edges + msgs/
+        # state (see pagerank.py — stops AQE's per-superstep broadcast
+        # of the full-|V| first frontiers).
         frontier = state.filter(F.col("changed")).select("id", "dist")
         msgs = (
-            e.join(frontier, e.src == frontier.id)
+            e.join(frontier.hint("shuffle_hash"), e.src == frontier.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
         new_state = (
             state.select("id", "dist")
-            .join(msgs, "id", "left")
+            .join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))).alias("nd"),
@@ -89,6 +92,9 @@ def sssp(
 
     result = run_gas(
         graph, init, step,
+        observe_aggs=lambda: [
+            F.sum(F.col("changed").cast("long")).alias("active")
+        ],
         max_iterations=max_iterations,
         checkpoint=checkpoint, checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,

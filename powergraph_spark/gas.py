@@ -34,7 +34,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 from .checkpoint import CheckpointStore
 from .graph import Graph
@@ -49,7 +49,8 @@ FrontierFn = Callable[[DataFrame], DataFrame]
 class SuperstepMetrics:
     superstep: int
     active: int
-    metric: float
+    metric: float | None  # None (JSON null) when not yet measured —
+    # NaN would make the manifest non-strict JSON.
     wall_sec: float
     extras: dict = field(default_factory=dict)
 
@@ -80,6 +81,7 @@ def run_gas(
     step_fn: Callable[[Graph, DataFrame, int], tuple[DataFrame, FrontierFn | None]],
     *,
     convergence_fn: Callable[[DataFrame, DataFrame], tuple[int, float]] | None = None,
+    observe_aggs: Callable[[], list[Column]] | None = None,
     tol: float = 0.0,
     max_iterations: int = 100,
     timeout_sec: float | None = None,
@@ -87,6 +89,7 @@ def run_gas(
     checkpoint_interval: int = 1,
     check_interval: int = 1,
     aggregators: dict[str, list] | None = None,
+    plan_hook: Callable[[DataFrame, int], None] | None = None,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -100,6 +103,15 @@ def run_gas(
         used when step_fn returns no frontier builder: delta-based
         convergence (scatter's signal-if-|delta|>tol, pagerank.cpp:
         124-135). Terminates when active_count == 0 or metric <= tol.
+    ``observe_aggs() -> [Column, ...]`` FREE convergence: aggregate
+        expressions attached to the superstep's own materialization job
+        via ``DataFrame.observe`` (accumulator-based — no extra scan,
+        no extra job). The first column must be aliased ``active``
+        (count of still-active vertices); an optional second aliased
+        ``metric`` (e.g. max delta). Takes precedence over frontier_fn
+        and convergence_fn when provided. This is the analog of the
+        reference engine folding its termination ballot into the
+        superstep barrier instead of running a second pass.
     ``check_interval=k`` evaluates termination only every k supersteps
         (states still materialize every superstep). Safe for fixpoint
         algorithms; termination may overshoot by at most k-1 steps.
@@ -130,19 +142,38 @@ def run_gas(
         t0 = time.time()
         new_state, frontier_fn = step_fn(graph, state, i)
         i += 1
+        check_due = i % check_interval == 0 or i >= max_iterations
+        if plan_hook is not None:
+            # plan-quality inspection point (tests assert e.g. that no
+            # BroadcastExchange of vertex state appears in a superstep)
+            plan_hook(new_state, i)
+
+        # free convergence metrics: piggyback on the materialization job
+        obs: Observation | None = None
+        if observe_aggs is not None and check_due:
+            obs = Observation()
+            new_state = new_state.observe(obs, *observe_aggs())
 
         # materialize exactly once (durable or local)
         durable_due = checkpoint is not None and i % checkpoint_interval == 0
         if durable_due:
-            pre = SuperstepMetrics(i, -1, float("nan"), time.time() - t0)
+            pre = SuperstepMetrics(i, -1, None, time.time() - t0)
             new_state = checkpoint.commit(i, new_state, pre)
         else:
             new_state = new_state.localCheckpoint(eager=True)
         state = new_state
 
-        # termination check (cheap scans over the materialized state)
-        if i % check_interval == 0 or i >= max_iterations:
-            if frontier_fn is not None:
+        # termination check (free via observe; else cheap scans over
+        # the materialized state)
+        if check_due:
+            if obs is not None:
+                vals = obs.get
+                n_active = int(vals.get("active") or 0)
+                metric = (
+                    float(vals["metric"]) if vals.get("metric") is not None
+                    else float(n_active)
+                )
+            elif frontier_fn is not None:
                 n_active = frontier_fn(state).count()
                 metric = float(n_active)
             elif convergence_fn is not None:

@@ -215,3 +215,22 @@ def test_cc_check_interval_exact(spark):
     b = connected_components(g, check_interval=3)
     assert sorted((r["id"], r["component"]) for r in a.state.collect()) == \
            sorted((r["id"], r["component"]) for r in b.state.collect())
+
+
+def test_cc_superstep_plan_no_broadcast_of_state(spark):
+    """Zero-exchange join discipline (VERDICT r1 #3): no superstep may
+    plan a BroadcastExchange of vertex state — the state/frontier side
+    of every join must be a ShuffledHashJoin over the co-partitioned
+    layout (the reference's mirrors->master exchange,
+    synchronous_engine.hpp:1860-1877, is never a driver broadcast)."""
+    plans: list[str] = []
+
+    def hook(df, step):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+
+    g = build(spark, PL_EDGES)
+    connected_components(g, max_iterations=3, plan_hook=hook)
+    assert plans, "plan_hook never fired"
+    for p in plans:
+        assert "BroadcastExchange" not in p, p
+        assert "ShuffledHashJoin" in p, p
