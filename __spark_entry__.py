@@ -75,6 +75,40 @@ def _co_graph(spark: SparkSession, sf_dir: str, P: int = 16) -> Graph:
     return Graph.from_edges(_co_edges(spark, sf_dir), num_partitions=P)
 
 
+# Directed part graph: l_linenumber ordering within an order gives a
+# genuinely directed edge set (reciprocals occur across orders) for
+# the directed-triangle census.
+_SQL_DIR_EDGES = """
+ed AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey
+   AND l1.l_linenumber < l2.l_linenumber
+   AND l1.l_partkey <> l2.l_partkey
+),
+vd AS (SELECT src AS id FROM ed UNION SELECT dst AS id FROM ed)
+"""
+
+
+def _dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    l2 = li.withColumnRenamed("l_partkey", "p2").withColumnRenamed(
+        "l_linenumber", "n2"
+    )
+    return (
+        li.join(l2, "l_orderkey")
+        .filter(
+            (F.col("l_linenumber") < F.col("n2"))
+            & (F.col("l_partkey") != F.col("p2"))
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------------- queries
 
 
@@ -248,13 +282,23 @@ def q_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core vertex set (kcore.cpp:70-185) — iterative peel; no SQL
-    oracle (fixpoint with aggregates), driver records rows-only."""
+KCORE_K = 60  # above the graph's min degree at sf0.001/0.01 so the
+# cascade actually fires (min degree is 42 at sf0.01; k=60 removes
+# vertices and forces a recount round).
+KCORE_UNROLL = 12  # measured Jacobi fixpoint is 2 rounds at both SFs;
+# extra unrolled rounds are exact no-ops after the fixpoint.
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core vertex set (kcore.cpp:70-185) — iterative cascade peel.
+    Oracle: the same fixpoint computed by an unrolled Jacobi peel in
+    SQL (survivors(n+1) = vertices with >= k neighbors in
+    survivors(n)); the k-core is the unique maximal such set, so both
+    iterations converge to identical output."""
     from powergraph_spark.algorithms import kcore_vertices
 
     g = _co_graph(spark, sf_dir)
-    return kcore_vertices(g, 2).orderBy("id")
+    return kcore_vertices(g, KCORE_K).orderBy("id")
 
 
 def q_coloring_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,14 +315,72 @@ def q_coloring_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIAM_R = 8
+DIAM_MAX_HOPS = 16
+DIAM_TOL = 1e-9  # stop when relative growth <= tol; 1e-9 makes the
+# stopping rule robust to last-ulp summation-order differences between
+# engines (at the mask fixpoint the relative delta is ~1e-16; before
+# it, growth is orders of magnitude above 1e-9).
+
+
 def q_approx_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FM-bitmask approximate diameter (approximate_diameter.cpp) —
-    rows-only (probabilistic estimate)."""
+    """FM-bitmask approximate diameter (approximate_diameter.cpp).
+    The FM masks are md5-derived (trailing zeros of the hex string),
+    so the DuckDB oracle reproduces every mask bit-for-bit and the
+    hop-by-hop estimates; the estimate comparison is integral."""
     from powergraph_spark.algorithms import approx_diameter
 
     g = _co_graph(spark, sf_dir)
-    hops, _ = approx_diameter(g, r=8, max_hops=32)
+    hops, _ = approx_diameter(g, r=DIAM_R, max_hops=DIAM_MAX_HOPS, tol=DIAM_TOL)
     return spark.createDataFrame([(hops,)], "diameter_hops long")
+
+
+N_SEEDS = 4  # centrality sample roots = the 4 lowest-id vertices
+BETW_DEPTH = 6  # >= 2x the measured seed eccentricity at sf0.01 (3)
+
+
+def _seeds(g: Graph) -> list[int]:
+    return [
+        int(r["id"])
+        for r in g.vertices.select("id").orderBy("id").limit(N_SEEDS).collect()
+    ]
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness (closeness.cpp; sampled roots as in
+    betweeness.cpp:358-366): seeds = 4 lowest-id vertices."""
+    from powergraph_spark.algorithms import closeness
+
+    g = _co_graph(spark, sf_dir)
+    return closeness(g, _seeds(g), max_depth=BETW_DEPTH).orderBy("id")
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (betweeness.cpp:167-310 is
+    the reference's sampled-tree variant; we compute the exact Brandes
+    dependency per sampled source — see algorithms/centrality.py)."""
+    from powergraph_spark.algorithms import betweenness
+
+    g = _co_graph(spark, sf_dir)
+    return betweenness(g, _seeds(g), max_depth=BETW_DEPTH).orderBy("id")
+
+
+def q_directed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex directed triangle census
+    (directed_triangle_count.cpp:288-345,625-636)."""
+    from powergraph_spark.algorithms import directed_triangle_counts
+
+    g = Graph.from_edges(_dir_edges(spark, sf_dir), num_partitions=16)
+    out = directed_triangle_counts(g).orderBy("id")
+    return out
+
+
+def q_directed_census_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-wide census totals (directed_triangle_count.cpp:759-763)."""
+    from powergraph_spark.algorithms import directed_triangle_totals
+
+    g = Graph.from_edges(_dir_edges(spark, sf_dir), num_partitions=16)
+    return directed_triangle_totals(g)
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,8 +434,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram computed by the engine's lang_id heuristic
+    (marker-word argmax) — NOT the table's lang column, so the oracle
+    actually exercises the operator."""
+    from powergraph_spark.datapipe.text import lang_id
+
     docs = _load(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    return (
+        docs.groupBy(lang_id(F.col("text")).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,18 +455,23 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(vecs, qs, k=5).orderBy("query_id", "rank")
 
 
+MINHASH_CAP = 1000  # max bucket size (boilerplate-bucket guard),
+# mirrored exactly in the oracle SQL.
+
+
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (xxhash64-based — no SQL
-    oracle; driver records rows-only)."""
+    """MinHash-LSH near-dup candidate pairs, md5 hash family so the
+    DuckDB oracle recomputes signatures/bands/buckets exactly."""
     docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=3).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_lsh_candidates(
+        docs, num_hashes=32, bands=16, k=3,
+        hash_family="md5", max_bucket=MINHASH_CAP,
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints via Arrow-vectorized pandas UDF
-    (rows-only check — hash internals not SQL-expressible)."""
+    """64-bit SimHash fingerprints (hex), pure JVM expressions on an
+    md5 token-hash spec — byte-identical in the DuckDB oracle."""
     docs = _load(spark, sf_dir, "documents")
     return simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
 
@@ -387,7 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "vset_ops": q_vset_ops,
         "sssp_hops": q_sssp_hops,
-        "kcore2": q_kcore2,
+        "kcore": q_kcore,
+        "closeness": q_closeness,
+        "betweenness": q_betweenness,
+        "directed_census": q_directed_census,
+        "directed_census_totals": q_directed_census_totals,
         "coloring_conflicts": q_coloring_conflicts,
         "approx_diameter": q_approx_diameter,
         "lsh_topk": q_lsh_topk,
@@ -403,6 +523,365 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -------------------------------------------------------------- oracle SQL
+
+_HEX = "0123456789abcdef"
+# shared DuckDB token-array expression (mirror of text.tokens())
+_SQL_TOKS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '[ \t\n\r\f]+') END"
+)
+
+
+# Materialized variant for the unrolled oracles (kcore / diameter):
+# each unrolled level references the edge set again, and DuckDB
+# re-scans the parquet per non-materialized CTE reference (-> fd
+# exhaustion at deep unrolls).
+_SQL_EDGES_MAT = _SQL_EDGES.replace(
+    "e AS (", "e AS MATERIALIZED (", 1
+).replace("und AS (", "und AS MATERIALIZED (", 1).replace(
+    "v AS (", "v AS MATERIALIZED (", 1
+)
+
+
+def _kcore_sql(k: int, unroll: int) -> str:
+    """Unrolled Jacobi peel: s(n+1) = {v in s(n): >=k neighbors in
+    s(n)}. Exact no-op once the fixpoint (the unique k-core) is
+    reached, so over-unrolling is safe."""
+    levels = ["s0 AS MATERIALIZED (SELECT src AS id FROM und GROUP BY src)"]
+    for n in range(1, unroll + 1):
+        levels.append(
+            f"s{n} AS MATERIALIZED (SELECT e.src AS id FROM und e "
+            f"JOIN s{n - 1} a ON a.id = e.src JOIN s{n - 1} b ON b.id = e.dst "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return (
+        f"WITH {_SQL_EDGES_MAT},\n" + ",\n".join(levels)
+        + f"\nSELECT id FROM s{unroll} ORDER BY id"
+    )
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for kbit in range(64):
+        j, b = divmod(kbit, 4)
+        d = f"(strpos('{_HEX}', substr(h, {j + 1}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN (({d} >> {3 - b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS v{kbit}"
+        )
+    nibs = []
+    for j in range(16):
+        nib = " + ".join(
+            f"(CASE WHEN v{4 * j + b} > 0 THEN {8 >> b} ELSE 0 END)"
+            for b in range(4)
+        )
+        nibs.append(f"substr('{_HEX}', ({nib}) + 1, 1)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({' || '.join(nibs)}) AS simhash FROM votes)
+SELECT d.doc_id, COALESCE(fp.simhash, '0000000000000000') AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, k: int, cap: int) -> str:
+    r = num_hashes // bands
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= {k} THEN list_transform(
+        generate_series(1, len(t) - {k - 1}),
+        i -> array_to_string(t[i:i+{k - 1}], ' '))
+    ELSE t END)) AS s
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id, i.i, md5(i.i::VARCHAR || ':' || s) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) i
+),
+sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashes GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {r} AS band,
+         md5(string_agg(mh, ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, i // {r}
+),
+ok AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING COUNT(*) <= {cap}
+),
+kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+_NIB_TZ_SQL = (
+    "CASE {c} WHEN '1' THEN 0 WHEN '2' THEN 1 WHEN '3' THEN 0 WHEN '4' THEN 2 "
+    "WHEN '5' THEN 0 WHEN '6' THEN 1 WHEN '7' THEN 0 WHEN '8' THEN 3 "
+    "WHEN '9' THEN 0 WHEN 'a' THEN 1 WHEN 'b' THEN 0 WHEN 'c' THEN 2 "
+    "WHEN 'd' THEN 0 WHEN 'e' THEN 1 ELSE 0 END"
+)
+
+
+def _diameter_sql(r: int, max_hops: int, tol: float) -> str:
+    """Mirror of algorithms.approx_diameter: md5 FM masks, per-hop
+    OR-gather over OUT neighbors, stop at first hop whose estimate
+    growth is <= prev * tol (masks are integers so the fixpoint hop is
+    engine-independent)."""
+    # initial masks: (id, reg, m)
+    mask_rows = []
+    for reg in range(r):
+        h = f"substr(md5('{reg}:' || id::VARCHAR), 1, 15)"
+        s = f"rtrim({h}, '0')"
+        last = f"substr({s}, length({s}), 1)"
+        tz = (
+            f"CASE WHEN length({s}) = 0 THEN 60 "
+            f"ELSE 4 * (15 - length({s})) + {_NIB_TZ_SQL.format(c=last)} END"
+        )
+        mask_rows.append(
+            f"SELECT id, {reg} AS reg, (1::BIGINT << LEAST({tz}, 60)) AS m FROM v"
+        )
+    est = (
+        "SELECT SUM(pow(2.0, mb) / 0.77351) AS est FROM ("
+        "SELECT id, AVG(CAST(LEAST(bit_count(m & ~(m + 1)), 60) AS DOUBLE)) AS mb "
+        "FROM m{h} GROUP BY id)"
+    )
+    parts = [
+        f"m0 AS MATERIALIZED ({' UNION ALL '.join(mask_rows)})",
+        f"e0 AS ({est.format(h=0)})",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"n{h} AS (SELECT e.src AS id, m.reg, bit_or(m.m) AS nm "
+            f"FROM e JOIN m{h - 1} m ON m.id = e.dst GROUP BY e.src, m.reg)"
+        )
+        parts.append(
+            f"m{h} AS MATERIALIZED (SELECT m.id, m.reg, m.m | COALESCE(n.nm, 0)"
+            f" AS m "
+            f"FROM m{h - 1} m LEFT JOIN n{h} n ON n.id = m.id AND n.reg = m.reg)"
+        )
+        parts.append(f"e{h} AS ({est.format(h=h)})")
+    ests = " UNION ALL ".join(
+        f"SELECT {h} AS hop, est FROM e{h}" for h in range(max_hops + 1)
+    )
+    parts.append(f"ests AS ({ests})")
+    parts.append(
+        "g AS (SELECT hop, est, lag(est) OVER (ORDER BY hop) AS prev FROM ests)"
+    )
+    return (
+        f"WITH {_SQL_EDGES_MAT},\n" + ",\n".join(parts)
+        + f"\nSELECT CAST(COALESCE((SELECT MIN(hop) FROM g "
+        f"WHERE prev > 0 AND (est - prev) <= prev * {tol}) - 1, {max_hops}) "
+        "AS BIGINT) AS diameter_hops"
+    )
+
+
+def _lang_sql() -> str:
+    from powergraph_spark.datapipe.text import LANG_MARKERS
+
+    hit_cols, case_arms = [], []
+    for lang in sorted(LANG_MARKERS):
+        lit = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lit}], x))) AS h_{lang}"
+        )
+        case_arms.append(f"WHEN h_{lang} = mx THEN '{lang}'")
+    langs = sorted(LANG_MARKERS)
+    mx = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, x -> lower(x)) AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, {', '.join(hit_cols)} FROM t),
+m AS (SELECT doc_id, *, {mx} AS mx FROM h),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN mx = 0 THEN 'und' {' '.join(case_arms)} ELSE 'und' END AS lang
+  FROM m
+)
+SELECT lang, COUNT(*) AS n_docs FROM pred GROUP BY lang ORDER BY lang
+"""
+
+
+def _lsh_topk_sql(n_planes: int, k: int) -> str:
+    from powergraph_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({{v}}, {plane_lits[i]}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probe_masks = [0] + [1 << i for i in range(n_planes)]
+    masks_vals = ", ".join(f"({m})" for m in probe_masks)
+    return f"""
+WITH vv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings
+),
+vb AS (SELECT neighbor_id, nv, ({bucket.format(v='nv')}) AS bucket FROM vv),
+qq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+qb AS (SELECT query_id, qv, ({bucket.format(v='qv')}) AS base FROM qq),
+probes AS (
+  SELECT query_id, xor(base::BIGINT, mm.m::BIGINT) AS bucket
+  FROM qb CROSS JOIN (VALUES {masks_vals}) mm(m)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.neighbor_id
+  FROM probes p JOIN vb v ON v.bucket = p.bucket
+  WHERE v.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.qv, v.nv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(v.nv, v.nv))) AS sim
+  FROM cand c
+  JOIN qb q ON q.query_id = c.query_id
+  JOIN vb v ON v.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _closeness_sql(n_seeds: int, max_depth: int) -> str:
+    # NB: inside WITH RECURSIVE, DuckDB 1.0 evaluates the plain
+    # `v AS (a UNION b)` CTE with UNION ALL semantics (no dedup), so
+    # every vertex-set consumer below must DISTINCT explicitly.
+    return f"""
+WITH RECURSIVE {_SQL_EDGES},
+seeds AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT {n_seeds}),
+walk(s, id, hops) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT walk.s, und.dst, walk.hops + 1
+  FROM walk JOIN und ON und.src = walk.id
+  WHERE walk.hops < {max_depth}
+),
+dist AS (SELECT s, id, MIN(hops) AS d FROM walk GROUP BY s, id)
+SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(d)::BIGINT AS sum_dist,
+       ROUND(CASE WHEN SUM(d) > 0 THEN COUNT(*)::DOUBLE / SUM(d)
+                  ELSE 0.0 END, 5) AS closeness
+FROM dist GROUP BY id ORDER BY id
+"""
+
+
+def _betweenness_sql(n_seeds: int, max_depth: int) -> str:
+    """Unrolled Brandes: sigma forward by BFS level, dependency delta
+    backward. Levels beyond the true eccentricity are exact no-ops
+    (empty sig CTEs), mirroring the Spark loop's empty-frontier stop."""
+    parts = [
+        # DISTINCT: see _closeness_sql note on WITH RECURSIVE + UNION
+        f"seeds AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT {n_seeds})",
+        "verts AS (SELECT DISTINCT id FROM v)",
+        "walk(s, id, hops) AS ("
+        "  SELECT id, id, 0 FROM seeds"
+        "  UNION"
+        "  SELECT walk.s, und.dst, walk.hops + 1"
+        "  FROM walk JOIN und ON und.src = walk.id"
+        f"  WHERE walk.hops < {max_depth})",
+        "dist AS MATERIALIZED "
+        "(SELECT s, id, MIN(hops) AS d FROM walk GROUP BY s, id)",
+        "sig0 AS MATERIALIZED "
+        "(SELECT id AS s, id, 1.0::DOUBLE AS sigma FROM seeds)",
+    ]
+    for n in range(1, max_depth + 1):
+        parts.append(
+            f"sig{n} AS MATERIALIZED ("
+            f"SELECT p.s, e.dst AS id, SUM(p.sigma) AS sigma "
+            f"FROM sig{n - 1} p JOIN und e ON e.src = p.id "
+            f"JOIN dist d ON d.s = p.s AND d.id = e.dst AND d.d = {n} "
+            f"GROUP BY p.s, e.dst)"
+        )
+    parts.append(
+        f"delta{max_depth} AS MATERIALIZED "
+        f"(SELECT s, id, sigma, 0.0::DOUBLE AS delta FROM sig{max_depth})"
+    )
+    for n in range(max_depth - 1, -1, -1):
+        parts.append(
+            f"delta{n} AS MATERIALIZED ("
+            f"SELECT c.s, c.id, c.sigma, "
+            f"c.sigma * COALESCE(SUM((1.0 + w.delta) / w.sigma), 0.0) AS delta "
+            f"FROM sig{n} c "
+            f"LEFT JOIN und e ON e.src = c.id "
+            f"LEFT JOIN delta{n + 1} w ON w.s = c.s AND w.id = e.dst "
+            f"GROUP BY c.s, c.id, c.sigma)"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT s, id, delta FROM delta{n}" for n in range(max_depth + 1)
+    )
+    parts.append(f"acc AS ({acc})")
+    parts.append(
+        "bc AS (SELECT id, SUM(delta) AS b FROM acc WHERE id <> s GROUP BY id)"
+    )
+    return (
+        f"WITH RECURSIVE {_SQL_EDGES_MAT},\n" + ",\n".join(parts)
+        + "\nSELECT verts.id, ROUND(COALESCE(bc.b, 0.0), 5) AS betweenness "
+        "FROM verts LEFT JOIN bc USING (id) ORDER BY verts.id"
+    )
+
+
+_SQL_CENSUS_CORE = f"""
+{_SQL_DIR_EDGES},
+s_s_t AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS w2, COUNT(*) AS c
+  FROM ed a JOIN ed b ON a.dst = b.dst GROUP BY a.src, b.src
+),
+st_st_t AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS w2, COUNT(*) AS c
+  FROM ed a JOIN ed b ON a.src = b.src GROUP BY a.dst, b.dst
+),
+st_s_t AS MATERIALIZED (
+  SELECT a.dst AS u, b.src AS w2, COUNT(*) AS c
+  FROM ed a JOIN ed b ON a.src = b.dst GROUP BY a.dst, b.src
+),
+pe AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         COALESCE(ss.c, 0) AS s_s,
+         COALESCE(tt.c, 0) AS st_st,
+         COALESCE(ts.c, 0) AS st_s
+  FROM ed e
+  LEFT JOIN s_s_t ss ON ss.u = e.src AND ss.w2 = e.dst
+  LEFT JOIN st_st_t tt ON tt.u = e.src AND tt.w2 = e.dst
+  LEFT JOIN st_s_t ts ON ts.u = e.src AND ts.w2 = e.dst
+),
+per_v AS (
+  SELECT vd.id,
+         COALESCE(fi.in_t, 0)::BIGINT AS in_triangles,
+         COALESCE(fo.out_t, 0)::BIGINT AS out_triangles,
+         COALESCE(fo.through_t, 0)::BIGINT AS through_triangles,
+         COALESCE(fo.cycle_t, 0)::BIGINT AS cycle_triangles
+  FROM vd
+  LEFT JOIN (
+    SELECT src AS id, SUM(s_s) AS out_t, SUM(st_st) AS through_t,
+           SUM(st_s) AS cycle_t
+    FROM pe GROUP BY src
+  ) fo ON fo.id = vd.id
+  LEFT JOIN (
+    SELECT dst AS id, SUM(st_st) AS in_t FROM pe GROUP BY dst
+  ) fi ON fi.id = vd.id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -548,7 +1027,7 @@ deg AS (
 )
 SELECT p.p_brand,
        COUNT(*) AS n_parts,
-       SUM(deg.in_deg + deg.out_deg) AS total_degree,
+       CAST(SUM(deg.in_deg + deg.out_deg) AS BIGINT) AS total_degree,
        ROUND(AVG(p.p_retailprice), 5) AS avg_price
 FROM deg JOIN part p ON p.p_partkey = deg.id
 GROUP BY p.p_brand
@@ -564,7 +1043,7 @@ WITH {E},
 deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)
 SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
        (SELECT COUNT(*) FROM e) AS n_edges,
-       (SELECT SUM(d) FROM deg) AS sum_degree,
+       CAST((SELECT SUM(d) FROM deg) AS BIGINT) AS sum_degree,
        (SELECT MAX(d) FROM deg) AS max_degree
 """,
         "vset_ops": f"""
@@ -632,9 +1111,26 @@ SELECT doc_id,
        ELSE md5(text) END AS fingerprint
 FROM toks ORDER BY doc_id
 """,
-        "lang_histogram": """
-SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        "lang_histogram": _lang_sql(),
+        "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),
+        "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),
+        "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
+        "directed_census": f"""
+WITH {_SQL_CENSUS_CORE}
+SELECT * FROM per_v ORDER BY id
 """,
+        "directed_census_totals": f"""
+WITH {_SQL_CENSUS_CORE}
+SELECT SUM(in_triangles)::BIGINT AS in_triangles,
+       SUM(out_triangles)::BIGINT AS out_triangles,
+       SUM(through_triangles)::BIGINT AS through_triangles,
+       SUM(cycle_triangles)::BIGINT AS cycle_triangles
+FROM per_v
+""",
+        "simhash": _simhash_sql(),
+        "minhash_candidates": _minhash_sql(32, 16, 3, MINHASH_CAP),
+        "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
+        "lsh_topk": _lsh_topk_sql(6, 5),
         "knn_cosine": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

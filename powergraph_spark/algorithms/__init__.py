@@ -1,6 +1,11 @@
 from .approx_diameter import approx_diameter
+from .centrality import betweenness, closeness, multi_source_bfs
 from .coloring import coloring, count_conflicts
 from .connected_components import component_sizes, connected_components
+from .directed_triangles import (
+    directed_triangle_counts,
+    directed_triangle_totals,
+)
 from .eigen import top_eigenvector
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
@@ -25,4 +30,9 @@ __all__ = [
     "coloring",
     "count_conflicts",
     "top_eigenvector",
+    "multi_source_bfs",
+    "closeness",
+    "betweenness",
+    "directed_triangle_counts",
+    "directed_triangle_totals",
 ]

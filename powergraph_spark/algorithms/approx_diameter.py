@@ -29,18 +29,43 @@ from ..graph import Graph
 _M61 = (1 << 61) - 1  # keep all mask arithmetic well inside int64 (ANSI-safe)
 
 
+_NIB_TZ = (
+    "CASE {c} WHEN '1' THEN 0 WHEN '2' THEN 1 WHEN '3' THEN 0 WHEN '4' THEN 2 "
+    "WHEN '5' THEN 0 WHEN '6' THEN 1 WHEN '7' THEN 0 WHEN '8' THEN 3 "
+    "WHEN '9' THEN 0 WHEN 'a' THEN 1 WHEN 'b' THEN 0 WHEN 'c' THEN 2 "
+    "WHEN 'd' THEN 0 WHEN 'e' THEN 1 ELSE 0 END"
+)
+
+
 def _init_masks(vertices: DataFrame, r: int) -> DataFrame:
     """bit position = trailing zeros of a per-(vertex, replica) hash —
     P(bit i) = 2^-(i+1), the FM distribution (approximate_diameter.cpp:59-68).
-    Trailing zeros computed bit-trick style (bit_count((h & -h) - 1)),
-    everything masked to 61 bits so no ANSI overflow is reachable."""
+
+    The hash is md5-based and the trailing-zero count is computed from
+    the hex STRING (strip trailing '0' digits, then a nibble lookup on
+    the last surviving digit), so an ANSI-SQL oracle (DuckDB: rtrim +
+    CASE) reproduces every mask bit-for-bit. 15 hex digits = 60 bits,
+    comfortably inside int64. Init-only cost: one pass over |V| x R."""
+    with_h = vertices.selectExpr(
+        "id",
+        *[
+            f"substring(md5(concat('{reg}:', cast(id as string))), 1, 15)"
+            f" AS h{reg}"
+            for reg in range(r)
+        ],
+    )
+
     def mask_sql(reg: int) -> str:
-        h = f"(xxhash64(id, {reg}) & {_M61}L)"
-        pos = f"least(bit_count(({h} & -{h}) - 1), 60)"
-        return f"shiftleft(1L, cast({pos} as int))"
+        s = f"trim(TRAILING '0' FROM h{reg})"
+        last = f"substring({s}, length({s}), 1)"
+        tz = (
+            f"CASE WHEN length({s}) = 0 THEN 60 "
+            f"ELSE 4 * (15 - length({s})) + {_NIB_TZ.format(c=last)} END"
+        )
+        return f"shiftleft(1L, cast(least({tz}, 60) as int))"
 
     masks = ", ".join(mask_sql(reg) for reg in range(r))
-    return vertices.selectExpr("id", f"array({masks}) AS masks")
+    return with_h.selectExpr("id", f"array({masks}) AS masks")
 
 
 def _fm_count(masks_df: DataFrame, r: int) -> float:

@@ -4,7 +4,7 @@ from .dedup import (
     jaccard_pairs,
     minhash_dedup,
     minhash_lsh_candidates,
-    minhash_signature,
+    minhash_signatures,
     simhash,
     simhash_near_dups,
     word_shingles,
@@ -32,7 +32,7 @@ from .text import (
 )
 
 __all__ = [
-    "exact_dup_groups", "dedup_exact", "word_shingles", "minhash_signature",
+    "exact_dup_groups", "dedup_exact", "word_shingles", "minhash_signatures",
     "minhash_lsh_candidates", "jaccard_pairs", "minhash_dedup",
     "simhash", "simhash_near_dups",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dups", "cosine",

@@ -6,8 +6,8 @@ Five dedup families, each shaped for 100 TB:
 - minhash+LSH: shingle -> k minhashes -> b bands -> bucket join.
                Candidate generation never compares all pairs; the
                band-bucket self-join only explodes within buckets.
-- simhash:     64-bit sign-sum fingerprint via a vectorized numpy
-               pandas UDF (Arrow batches; no per-row Python).
+- simhash:     64-bit sign-sum fingerprint, pure JVM expressions
+               (md5 + bit votes in one partial-agg'd shuffle).
 - n-gram Jaccard: exact verification on candidate pairs only.
 - embedding near-dup: cosine > threshold via LSH bucketing (see
                similarity.py) or brute verification on candidates.
@@ -15,11 +15,8 @@ Five dedup families, each shaped for 100 TB:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from .text import tokens
 
@@ -62,15 +59,53 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 # ------------------------------------------------------------- minhash
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3) -> Column:
-    """array<long> of minhashes: sig[i] = min over shingles of
-    xxhash64(i, shingle). All JVM-side (xxhash64 in transform)."""
-    sh = word_shingles(col, k)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig array) minhash signatures, all JVM-side.
+
+    hash_family='xxhash64' (scale default): array<long>,
+        sig[i] = min over shingles of xxhash64(i, shingle).
+    hash_family='md5' (portable/oracle-checkable): array<string>,
+        sig[i] = lexicographic MIN over shingles of md5('i:' || shingle)
+        — byte-identical to ANSI SQL `MIN(md5(i || ':' || s))`, so a
+        DuckDB oracle can recompute the signature exactly.
+
+    Shape: explode shingles once, then num_hashes plain MIN aggregates
+    in ONE partially-aggregated groupBy — map-side combine keeps the
+    shuffle at |docs| x num_hashes regardless of shingle count. (This
+    replaces an earlier array_min-of-transform formulation: computing
+    N sibling min-hashes inside nested higher-order functions tripped
+    a Spark analyzer/codegen lambda-binding corruption — array_min
+    values matching no md5 of any input. The explode+agg shape is both
+    correct and the better plan.)
+
+    Docs with zero shingles (empty text) produce no row, matching the
+    SQL `unnest` semantics of the oracle.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    if hash_family == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    agg = ex.groupBy("id").agg(*aggs)
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -80,34 +115,36 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: docs sharing >=1 LSH
     band bucket. rows_per_band = num_hashes/bands.
 
     Scale shape: explode to (band, band_hash, id); the self-join is on
-    (band, band_hash) — bucket-local. Skewed buckets (boilerplate) are
-    the classic hazard; AQE skew-join splitting is on, and callers can
-    cap bucket size with `max_bucket` semantics downstream.
+    (band, band_hash) — bucket-local, never all-pairs. `max_bucket`
+    caps the classic boilerplate hazard: a bucket with B members emits
+    B^2 pairs, so buckets larger than max_bucket are DROPPED before the
+    self-join (standard practice — oversized buckets are near-useless
+    for dedup; a 10^6-member boilerplate bucket would emit 10^12 pairs
+    no matter how AQE splits the skew). Dropped-bucket stats are
+    observable via `minhash_bucket_histogram`.
     """
-    r = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    bands_df = _minhash_bands(
+        docs, text_col, id_col, num_hashes, bands, k, hash_family
     )
-    bands_df = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(
-                        ",", *[F.element_at("sig", b * r + j + 1) for j in range(r)]
-                    )).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        # one extra partial-agg'd shuffle on the (band,bucket) key; the
+        # survivors join is a broadcast-able semi-join at typical
+        # cap rates (oversized buckets are rare by construction).
+        sizes = bands_df.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bands_df = bands_df.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+            "leftsemi",
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -116,6 +153,62 @@ def minhash_lsh_candidates(
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def _minhash_bands(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, band, bucket): band bucket per doc per band. Bucket =
+    hash of the band's r consecutive signature values joined by ','."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k, hash_family)
+    band_key = [
+        F.concat_ws(",", *[
+            F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)
+        ])
+        for b in range(bands)
+    ]
+    bucket_of = [
+        F.md5(band_key[b]) if hash_family == "md5" else F.xxhash64(band_key[b])
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), bucket_of[b].alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_bucket_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(bucket_size, n_buckets): the skew diagnostic behind max_bucket."""
+    bands_df = _minhash_bands(
+        docs, text_col, id_col, num_hashes, bands, k, hash_family
+    )
+    return (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
     )
 
 
@@ -178,66 +271,98 @@ def minhash_dedup(
 
 # -------------------------------------------------------------- simhash
 
-
-def _simhash64_kernel(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash over whitespace tokens (Arrow batch;
-    numpy bit ops, no per-row Python hashing — tokens are hashed with
-    a splitmix64 finalizer over numpy uint64 of their Python hash is
-    NOT deterministic across processes, so we use md5 via hashlib on
-    unique tokens per batch, cached)."""
-    import hashlib
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    cache: dict[str, int] = {}
-
-    def h64(tok: str) -> int:
-        v = cache.get(tok)
-        if v is None:
-            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            cache[tok] = v
-        return v
-
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        hs = np.fromiter((h64(tok) for tok in toks), dtype=np.uint64,
-                         count=len(toks))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
-    return pd.Series(out)
+_HEX = "0123456789abcdef"
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    # pandas_udf is constructed lazily (needs an active session in Spark 4)
-    udf = pandas_udf(_simhash64_kernel, "long")
-    return docs.withColumn("simhash", udf(F.col(text_col)))
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as a 16-char lowercase hex string — zero Python
+    in the path (the round-1 per-row md5 kernel is gone).
+
+    Spec (deterministic + ANSI-SQL-portable so a DuckDB oracle can
+    recompute it bit-for-bit):
+      - token set = DISTINCT whitespace tokens of `text`
+      - per token: h = md5(token), bit k (k=0..63, MSB-first) is bit
+        (3 - k%4) of hex digit k//4
+      - vote[k] = sum over tokens of (2*bit - 1)
+      - fingerprint bit k = 1 iff vote[k] > 0; emitted as 16 hex chars
+      - docs with no tokens -> '0000000000000000'
+
+    Plan shape at 100 TB: explode distinct tokens -> md5 (JVM) ->
+    ONE partially-aggregated shuffle of 64 int sums keyed by doc id ->
+    expression-only hex assembly. Everything whole-stage-codegen.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = toks.select(id_col, F.md5("tok").alias("h"))
+    votes = []
+    for k in range(64):
+        j, b = divmod(k, 4)
+        d = f"(instr('{_HEX}', substring(h, {j + 1}, 1)) - 1)"
+        votes.append(
+            F.expr(
+                f"sum(CASE WHEN (({d} >> {3 - b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            ).alias(f"v{k}")
+        )
+    vote_df = h.groupBy(id_col).agg(*votes)
+    nibbles = []
+    for j in range(16):
+        nib = " + ".join(
+            f"(CASE WHEN v{4 * j + b} > 0 THEN {8 >> b} ELSE 0 END)"
+            for b in range(4)
+        )
+        nibbles.append(f"substr('{_HEX}', ({nib}) + 1, 1)")
+    fp = vote_df.select(
+        id_col, F.expr("concat(" + ", ".join(nibbles) + ")").alias("simhash")
+    )
+    return docs.join(fp, id_col, "left").withColumn(
+        "simhash", F.coalesce("simhash", F.lit("0" * 16))
+    )
+
+
+def simhash_hamming(a: str, b: str) -> Column:
+    """Hamming distance between two hex-string fingerprint COLUMN NAMES
+    (JVM expression: per-nibble XOR popcount)."""
+    if not isinstance(a, str) or not isinstance(b, str):
+        raise TypeError("simhash_hamming takes column names")
+    terms = [
+        f"bit_count((instr('{_HEX}', substring({a}, {j + 1}, 1)) - 1)"
+        f" ^ (instr('{_HEX}', substring({b}, {j + 1}, 1)) - 1))"
+        for j in range(16)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      max_bucket: int | None = 1000) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
-    Bucketing: 4 x 16-bit blocks — any pair within hamming<=3 shares
-    at least one exact block (pigeonhole), so the join is block-local."""
-    sh = simhash(docs, text_col).select(F.col(id_col).alias("id"), "simhash")
+    Bucketing: 4 x 16-bit blocks (4 hex chars each) — any pair within
+    hamming<=3 shares at least one exact block (pigeonhole), so the
+    join is block-local. Buckets larger than max_bucket are dropped
+    (same boilerplate-bucket rationale as minhash_lsh_candidates)."""
+    sh = simhash(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
     blocks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("blk"),
-                F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
+                F.substring("simhash", 4 * b + 1, 4).alias("key"),
             )
             for b in range(4)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.key")
+    if max_bucket is not None:
+        sizes = blocks.groupBy("blk", "key").agg(F.count(F.lit(1)).alias("_n"))
+        blocks = blocks.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("blk", "key"),
+            ["blk", "key"],
+            "leftsemi",
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
@@ -247,7 +372,6 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                 F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
         .distinct()
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return pairs.select(
+        "id_a", "id_b", simhash_hamming("h_a", "h_b").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -102,15 +102,72 @@ def test_minhash_dedup_pipeline(docs):
     assert kept == [0, 3, 4, 5, 6]
 
 
+def _py_simhash(text: str) -> str:
+    """Independent python oracle of the md5-vote simhash spec."""
+    import hashlib
+
+    toks = sorted(set(text.split()))
+    if not toks:
+        return "0" * 16
+    votes = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for k in range(64):
+            j, b = divmod(k, 4)
+            bit = (int(h[j], 16) >> (3 - b)) & 1
+            votes[k] += 1 if bit == 1 else -1
+    out = []
+    for j in range(16):
+        nib = sum((8 >> b) for b in range(4) if votes[4 * j + b] > 0)
+        out.append("0123456789abcdef"[nib])
+    return "".join(out)
+
+
 def test_simhash_hamming(docs, spark):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, fp in sh.items():
+        assert fp == _py_simhash(texts[did]), did
     assert sh[0] == sh[1]
-    d02 = bin(sh[0] ^ sh[2]).count("1")
-    d05 = bin(sh[0] ^ sh[5]).count("1")
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    d02 = ham(sh[0], sh[2])
+    d05 = ham(sh[0], sh[5])
     assert d02 < d05  # near-dup closer than unrelated
-    dups = {(r["id_a"], r["id_b"]) for r in
-            simhash_near_dups(docs, max_hamming=max(3, d02)).collect()}
-    assert (0, 1) in dups
+    dups = simhash_near_dups(docs, max_hamming=max(3, d02)).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in dups}
+    assert (0, 1) in pairs
+    for r in dups:  # hamming column matches the python computation
+        assert r["hamming"] == ham(sh[r["id_a"]], sh[r["id_b"]])
+
+
+def test_simhash_empty_doc(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "x y")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert got[1] == "0" * 16 and got[2] == "0" * 16
+    assert got[3] == _py_simhash("x y")
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    # a planted boilerplate bucket: 50 identical docs + 2 near-dups.
+    rows = [(i, "the same boilerplate text repeated here") for i in range(50)]
+    rows += [(100, "unique alpha beta gamma delta epsilon zeta"),
+             (101, "unique alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(df, num_hashes=32, bands=16, k=3,
+                                    max_bucket=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 50-doc boilerplate bucket (size > 10) is dropped entirely…
+    assert not any(a < 50 and b < 50 for a, b in pairs)
+    # …while the small bucket still yields its candidate pair
+    assert (100, 101) in pairs
+    # uncapped emits the 50*49/2 boilerplate pairs
+    full = minhash_lsh_candidates(df, num_hashes=32, bands=16, k=3,
+                                  max_bucket=None)
+    assert full.count() == 50 * 49 // 2 + 1
 
 
 # ------------------------------------------------------------ similarity
