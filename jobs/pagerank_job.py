@@ -28,11 +28,14 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--check-interval", type=int, default=5)
+    ap.add_argument("--delta", action="store_true",
+                    help="gather-cache/post_delta mode: only the "
+                         "changed frontier scatters each superstep")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from powergraph_spark.algorithms import pagerank, total_rank
+    from powergraph_spark.algorithms import pagerank, pagerank_delta, total_rank
     from powergraph_spark.checkpoint import CheckpointStore
     from powergraph_spark.webtext import audit_collisions, pages_to_graph
 
@@ -42,11 +45,18 @@ def main() -> None:
                        salt_cap=args.salt_cap)
     assert audit_collisions(g.vertices) == 0, "url hash collision"
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
-    res = pagerank(
-        g, tol=args.tol, max_iterations=args.max_iterations,
-        checkpoint=store, resume=args.resume,
-        check_interval=args.check_interval, verbose=True,
-    )
+    if args.delta:
+        res = pagerank_delta(
+            g, tol=args.tol, max_iterations=args.max_iterations,
+            checkpoint=store,
+            check_interval=args.check_interval, verbose=True,
+        )
+    else:
+        res = pagerank(
+            g, tol=args.tol, max_iterations=args.max_iterations,
+            checkpoint=store, resume=args.resume,
+            check_interval=args.check_interval, verbose=True,
+        )
     res.state.select("id", "rank").write.mode("overwrite").parquet(args.output)
     print(f"termination={res.termination} supersteps={res.supersteps} "
           f"total_rank={total_rank(res.state):.4f}")

@@ -6,15 +6,17 @@ from .directed_triangles import (
     directed_triangle_counts,
     directed_triangle_totals,
 )
-from .eigen import top_eigenvector
+from .eigen import normalize_eigenvector, top_eigenvector
+from .laplacian import graph_laplacian
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
-from .pagerank import pagerank, total_rank
+from .pagerank import pagerank, pagerank_delta, total_rank
 from .sssp import sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
     "pagerank",
+    "pagerank_delta",
     "total_rank",
     "connected_components",
     "component_sizes",
@@ -30,6 +32,8 @@ __all__ = [
     "coloring",
     "count_conflicts",
     "top_eigenvector",
+    "normalize_eigenvector",
+    "graph_laplacian",
     "multi_source_bfs",
     "closeness",
     "betweenness",

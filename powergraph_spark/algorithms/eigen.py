@@ -78,3 +78,20 @@ def top_eigenvector(
 
     edges.unpersist()
     return x, lam
+
+
+def normalize_eigenvector(
+    vec: DataFrame, value_col: str = "v", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize a per-vertex vector column — the standalone
+    eigen-vector-normalization utility
+    (/root/reference/toolkits/graph_analytics/eigen_vector_normalization.cpp
+    :15-27,159-161: sum of squares -> sqrt -> divide). One aggregate +
+    one projection; the aggregate result is folded in as a literal so
+    the projection stays whole-stage-codegen."""
+    out = out_col or value_col
+    ss = vec.agg(F.sum(F.col(value_col) * F.col(value_col))).first()[0]
+    norm = math.sqrt(float(ss or 0.0))
+    if norm == 0.0:
+        return vec.withColumn(out, F.col(value_col) * 0.0)
+    return vec.withColumn(out, F.col(value_col) / F.lit(norm))

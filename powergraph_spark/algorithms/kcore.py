@@ -20,13 +20,25 @@ from pyspark.storagelevel import StorageLevel
 from ..graph import Graph
 
 
-def _und_edges(graph: Graph) -> DataFrame:
+def _und_edges(graph: Graph, degree: str = "distinct") -> DataFrame:
+    """Undirected view used for peeling.
+
+    degree='distinct' (default): symmetrized + deduped — a vertex's
+    degree is its DISTINCT neighbor count. degree='multiset': the
+    ALL_EDGES view — a reciprocal directed pair (u,v),(v,u) counts
+    TWICE, exactly the reference's num_in_edges()+num_out_edges()
+    (kcore.cpp:154). The two semantics differ only on graphs with
+    reciprocal directed edges; 'distinct' is the textbook k-core and
+    the default, 'multiset' is reference-exact."""
+    if degree == "multiset":
+        return graph.all_edges_view()
     return graph.symmetrized_edges()  # both directions, deduped
 
 
-def kcore_vertices(graph: Graph, k: int, max_iterations: int = 500) -> DataFrame:
+def kcore_vertices(graph: Graph, k: int, max_iterations: int = 500,
+                   degree: str = "distinct") -> DataFrame:
     """Vertex set (id) of the k-core."""
-    edges = _und_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = _und_edges(graph, degree).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iterations):
         deg = edges.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("d")

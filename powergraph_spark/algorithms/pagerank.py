@@ -184,3 +184,101 @@ def pagerank(
 def total_rank(state: DataFrame) -> float:
     """map_reduce_vertices(total_rank) self-check (pagerank.cpp:257-258)."""
     return float(state.agg(F.sum("rank")).first()[0])
+
+
+def pagerank_delta(
+    graph: Graph,
+    tol: float = 1e-6,
+    max_iterations: int = 500,
+    damping: float = 0.85,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 1,
+    check_interval: int = 1,
+    verbose: bool = False,
+) -> GASResult:
+    """Delta / dynamic PageRank — the reference's gather-cache +
+    post_delta path (synchronous_engine.hpp:1589-1643 caches the
+    gather; pagerank.cpp:124-135 scatters only when |delta| > TOLERANCE
+    and posts the contribution delta to the neighbor's cache).
+
+    State: (id, rank, out_deg, acc, sent, changed)
+      acc  = cached gather sum (the reference's gather_cache entry)
+      sent = contribution (rank/out_deg) at this vertex's LAST emission
+    Per superstep only the CHANGED frontier emits
+      d = rank/out_deg - sent
+    and receivers fold d into acc:  rank' = 0.15 + 0.85 * acc'.
+    Re-emission is anchored on cumulative un-sent change
+    (|rank' - sent' * out_deg| > tol), so sub-tol drips accumulate and
+    eventually re-signal instead of being silently dropped.
+
+    At web scale this is the difference between touching the shrinking
+    frontier and touching |V| every superstep for slowly-converging
+    tails. Differential-tested against dense pagerank (allclose 1e-6);
+    per-superstep frontier sizes land in GASResult.metrics (active),
+    giving the fewer-rows-touched evidence directly.
+    """
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    init = (
+        graph.vertices.select("id")
+        .join(out_deg, "id", "left")
+        .selectExpr(
+            "id",
+            "CAST(1.0 AS DOUBLE) AS rank",  # SQL 1.0 is DECIMAL, not double
+            "coalesce(out_deg, 0) AS out_deg",
+            "CAST(0.0 AS DOUBLE) AS acc",
+            "CAST(0.0 AS DOUBLE) AS sent",
+            "coalesce(out_deg, 0) > 0 AS changed",
+        )
+        .repartition(P, "id")
+    )
+
+    def step(g: Graph, state: DataFrame, i: int):
+        frontier = state.filter("changed AND out_deg > 0").selectExpr(
+            "id", "rank / out_deg - sent AS d"
+        )
+        msgs = (
+            edges.join(frontier.hint("shuffle_hash"), edges.src == F.col("id"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("d").alias("din"))
+        )
+        new_state = state.join(msgs.hint("shuffle_hash"), "id", "left").selectExpr(
+            "id",
+            f"{RESET_PROB} + {damping} * (acc + coalesce(din, 0.0)) AS rank",
+            "out_deg",
+            "acc + coalesce(din, 0.0) AS acc",
+            # emission updates `sent` for this step's frontier
+            "CASE WHEN changed AND out_deg > 0 THEN rank / out_deg "
+            "ELSE sent END AS sent",
+            # re-signal on cumulative un-sent change (gather-cache
+            # safe accumulation), dangling vertices never signal
+            "CASE WHEN out_deg > 0 THEN "
+            f"abs(({RESET_PROB} + {damping} * (acc + coalesce(din, 0.0))) "
+            "- (CASE WHEN changed THEN rank / out_deg ELSE sent END) * out_deg)"
+            f" > {tol} ELSE false END AS changed",
+        )
+        return new_state, lambda df: df.filter("changed").select("id")
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            F.sum(F.col("changed").cast("long")).alias("active")
+        ],
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
+        verbose=verbose,
+    )
+    edges.unpersist()
+    return result

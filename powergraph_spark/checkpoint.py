@@ -22,13 +22,18 @@ readers only see manifests of fully-written snapshots):
                                             per-partition row counts
                                             (lineage), metrics, schema
     <root>/metrics.jsonl                    append-only metrics log
+
+Every filesystem operation (mkdir, manifest write, atomic rename,
+listing) goes through the Hadoop FileSystem API resolved FROM THE
+ROOT PATH's scheme — so an hdfs:// or s3a:// root works exactly like
+a local one (the spark-submit job wires --checkpoint straight here).
+Driver-local POSIX calls would silently target the wrong filesystem
+on a real cluster.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,25 +43,97 @@ if TYPE_CHECKING:  # pragma: no cover
     from .gas import SuperstepMetrics
 
 
+class _Fs:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for the
+    store's root scheme."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._io = jvm.org.apache.commons.io.IOUtils
+        p = self._Path(root)
+        self.fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def path(self, s: str):
+        return self._Path(s)
+
+    def mkdirs(self, s: str) -> None:
+        self.fs.mkdirs(self._Path(s))
+
+    def exists(self, s: str) -> bool:
+        return bool(self.fs.exists(self._Path(s)))
+
+    def delete(self, s: str) -> None:
+        self.fs.delete(self._Path(s), True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self.fs.rename(self._Path(src), self._Path(dst)))
+
+    def write_text(self, s: str, text: str) -> None:
+        out = self.fs.create(self._Path(s), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, s: str) -> str:
+        # byte-buffer read() can't work over py4j (array mutations stay
+        # on the Java side); commons-io (shipped with Spark) drains the
+        # stream JVM-side and returns the bytes by value.
+        stream = self.fs.open(self._Path(s))
+        try:
+            data = self._io.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def append_line(self, s: str, line: str) -> None:
+        """Append a line; falls back to read+rewrite where the
+        filesystem doesn't support append (e.g. local checksum FS,
+        object stores)."""
+        p = self._Path(s)
+        if self.fs.exists(p):
+            try:
+                out = self.fs.append(p)
+                try:
+                    out.write(bytearray((line + "\n").encode("utf-8")))
+                finally:
+                    out.close()
+                return
+            except Exception:
+                old = self.read_text(s)
+                self.write_text(s, old + line + "\n")
+                return
+        self.write_text(s, line + "\n")
+
+    def listdir(self, s: str) -> list[str]:
+        if not self.exists(s):
+            return []
+        return [
+            st.getPath().getName() for st in self.fs.listStatus(self._Path(s))
+        ]
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = root.rstrip("/")
+        self._fs = _Fs(spark, self.root)
+        self._fs.mkdirs(self.root)
 
     def _dir(self, superstep: int) -> str:
-        return os.path.join(self.root, f"superstep={superstep:06d}")
+        return f"{self.root}/superstep={superstep:06d}"
 
     def _manifest(self, superstep: int) -> str:
-        return os.path.join(self._dir(superstep), "_MANIFEST.json")
+        return f"{self._dir(superstep)}/_MANIFEST.json"
 
     def commit(self, superstep: int, state: DataFrame, metrics: "SuperstepMetrics") -> DataFrame:
         """Write state + lineage + metrics; return the re-read state
         (fresh scan => truncated plan)."""
         d = self._dir(superstep)
         tmp = d + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if self._fs.exists(tmp):
+            self._fs.delete(tmp)
         state.write.mode("overwrite").parquet(tmp)
         # per-partition lineage: physical partition -> row count,
         # computed from the just-written files (NOT from `state`, whose
@@ -74,13 +151,11 @@ class CheckpointStore:
             "lineage": lineage,
             "metrics": json.loads(metrics.to_json()),
         }
-        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f)
-        if os.path.exists(d):
-            shutil.rmtree(d)
-        os.rename(tmp, d)  # atomic commit
-        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
-            f.write(metrics.to_json() + "\n")
+        self._fs.write_text(f"{tmp}/_MANIFEST.json", json.dumps(manifest))
+        if self._fs.exists(d):
+            self._fs.delete(d)
+        self._fs.rename(tmp, d)  # atomic commit (rename on HDFS/local)
+        self._fs.append_line(f"{self.root}/metrics.jsonl", metrics.to_json())
         # drop any cached scan of this path (a prior run may have
         # persisted a DataFrame over the old files)
         self.spark.catalog.refreshByPath(d)
@@ -88,12 +163,10 @@ class CheckpointStore:
 
     def committed_supersteps(self) -> list[int]:
         out = []
-        if not os.path.isdir(self.root):
-            return out
-        for name in os.listdir(self.root):
+        for name in self._fs.listdir(self.root):
             if name.startswith("superstep=") and not name.endswith(".tmp"):
                 n = int(name.split("=")[1])
-                if os.path.exists(self._manifest(n)):
+                if self._fs.exists(self._manifest(n)):
                     out.append(n)
         return sorted(out)
 
@@ -110,11 +183,10 @@ class CheckpointStore:
         return self.spark.read.parquet(d)
 
     def manifest(self, superstep: int) -> dict:
-        with open(self._manifest(superstep)) as f:
-            return json.load(f)
+        return json.loads(self._fs.read_text(self._manifest(superstep)))
 
     def truncate_after(self, superstep: int) -> None:
         """Drop commits newer than `superstep` (crash-mid-run tests)."""
         for n in self.committed_supersteps():
             if n > superstep:
-                shutil.rmtree(self._dir(n))
+                self._fs.delete(self._dir(n))

@@ -59,12 +59,21 @@ class Graph:
         src: str = "src",
         dst: str = "dst",
     ) -> "Graph":
-        """finalize(): dedupe -> self-loop filter -> pid -> repartition.
+        """finalize(): self-loop filter -> pid -> repartition -> dedupe.
 
-        One shuffle total (the repartition); the pid expression itself
-        is evaluated scan-side. At 100 TB this is the single ingest
-        all-to-all, identical in role to the reference's buffered edge
-        exchange (distributed_ingress_base.hpp:130-140).
+        ONE shuffle total (the pid repartition) — genuinely. The pid is
+        a pure function of (src, dst), so duplicate pairs always land
+        in the same partition, and the dedup (duplicate edges fail the
+        reference's finalization, local_graph.hpp:196-199) runs AFTER
+        the repartition as a partition-local window (sort within
+        partition + lag-compare): the window's required distribution
+        hashpartitioning(pid) is exactly what the repartition
+        produced, so Catalyst inserts no second exchange. A
+        dropDuplicates BEFORE the repartition would be a full extra
+        hash-agg exchange of the entire edge set — at 100 TB, a second
+        all-to-all as large as the ingest itself. (The 'identity'
+        strategy's pid is NOT a pair function, so it keeps the
+        up-front dedup.)
         """
         spark = edges.sparkSession
         P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -79,11 +88,25 @@ class Graph:
         if drop_self_loops:
             # self-edges are fatal in the reference (local_graph.hpp:341-346)
             e = e.filter(F.col("src") != F.col("dst"))
-        if dedup:
-            # duplicate edges fail finalization (local_graph.hpp:196-199)
+        if dedup and strategy == "identity":
             e = e.dropDuplicates(["src", "dst"])
         e = assign_pid(e, P, strategy=strategy, salt_cap=salt_cap)
         e = e.repartition(P, "pid")
+        if dedup and strategy != "identity":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("pid").orderBy("src", "dst")
+            e = (
+                e.withColumn("_ps", F.lag("src").over(w))
+                .withColumn("_pd", F.lag("dst").over(w))
+                .filter(
+                    ~(
+                        F.col("_ps").eqNullSafe(F.col("src"))
+                        & F.col("_pd").eqNullSafe(F.col("dst"))
+                    )
+                )
+                .drop("_ps", "_pd")
+            )
         if persist:
             e = e.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -43,25 +43,47 @@ def read_edges(spark: SparkSession, path: str, fmt: str = "tsv") -> DataFrame:
             F.element_at(parts, 2).cast("long").alias("dst"),
         )
     if fmt == "adj":
-        # "src n dst1 dst2 ... dstn"; declared count validated like the
-        # reference (builtin_parsers.hpp:140) — mismatches raise.
-        parts = F.split(F.col("line"), r"[ \t]+")
-        parsed = lines.select(
-            F.element_at(parts, 1).cast("long").alias("src"),
-            F.element_at(parts, 2).cast("int").alias("n"),
-            F.slice(parts, 3, 2147483647).alias("rest"),
-        )
-        bad = parsed.filter(F.size("rest") != F.col("n"))
-        if not bad.isEmpty():
-            raise ValueError("adj parse error: declared neighbor count mismatch")
-        return parsed.select(
-            "src", F.explode("rest").alias("dst")
-        ).select("src", F.col("dst").cast("long").alias("dst"))
+        return _read_adj(lines)[0]
     raise ValueError(f"unknown graph format: {fmt}")
 
 
+def _read_adj(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """adj parser -> (edges, declared_source_vertices). The vertex set
+    matters: a line 'src 0' declares a zero-neighbor vertex that the
+    reference's adj_parser still adds (builtin_parsers.hpp:119-142 —
+    graph.add_vertex before the neighbor loop); exploding to edges
+    alone would drop it."""
+    parts = F.split(F.col("line"), r"[ \t]+")
+    parsed = lines.select(
+        F.element_at(parts, 1).cast("long").alias("src"),
+        F.element_at(parts, 2).cast("int").alias("n"),
+        F.slice(parts, 3, 2147483647).alias("rest"),
+    )
+    bad = parsed.filter(F.size("rest") != F.col("n"))
+    if not bad.isEmpty():
+        raise ValueError("adj parse error: declared neighbor count mismatch")
+    edges = parsed.select(
+        "src", F.explode("rest").alias("dst")
+    ).select("src", F.col("dst").cast("long").alias("dst"))
+    srcs = parsed.select(F.col("src").alias("id")).distinct()
+    return edges, srcs
+
+
 def load_graph(spark: SparkSession, path: str, fmt: str = "tsv", **kw) -> Graph:
-    """load_format analog (distributed_graph.hpp:2421-2447)."""
+    """load_format analog (distributed_graph.hpp:2421-2447). For adj,
+    declared zero-neighbor sources survive as isolated vertices."""
+    if fmt == "adj":
+        lines = spark.read.text(path).select(
+            F.trim(F.col("value")).alias("line")
+        ).filter(F.col("line") != "")
+        edges, srcs = _read_adj(lines)
+        ends = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .unionAll(srcs)
+            .distinct()
+        )
+        return Graph.from_edges(edges, vertices=ends, **kw)
     return Graph.from_edges(read_edges(spark, path, fmt), **kw)
 
 

@@ -72,6 +72,125 @@ def grid_pid(src: Column, dst: Column, num_partitions: int) -> Column:
     return F.pmod(row * k + col, F.lit(num_partitions)).cast("int")
 
 
+# ------------------------------------------------------------------ pds
+
+
+def _pds_set(p: int) -> list[int]:
+    """Perfect difference set mod n = p^2+p+1 for prime(-power) p: a
+    (p+1)-element set whose pairwise differences hit every nonzero
+    residue exactly once. Found as the zero positions of a degree-3
+    linear recurrence over GF(p) (Singer difference set construction;
+    reference: /root/reference/src/graphlab/util/generate_pds.hpp:29-104).
+    Driver-side, tiny (p <= ~31 in practice), memoizable."""
+    n = p * p + p + 1
+    if p == 1:
+        return [0, 2]
+    for a in range(p):
+        for b in range(p):
+            if a == 0 and b == 0:
+                continue
+            for c in range(1, p):
+                seq = [0, 0, 1]
+                zeros = [0, 1]
+                ok = True
+                for i in range(3, n + 2):
+                    v = (a * seq[-1] + b * seq[-2] + c * seq[-3]) % p
+                    seq.append(v)
+                    if v == 0 and i < n:
+                        zeros.append(i)
+                        if len(zeros) > p + 1:
+                            ok = False
+                            break
+                if not ok:
+                    continue
+                if seq[n] == 0 and seq[n + 1] == 0 and len(zeros) == p + 1:
+                    # verify the difference property
+                    count = [0] * n
+                    for x in zeros:
+                        for y in zeros:
+                            if x != y:
+                                count[(x - y) % n] += 1
+                    if all(c == 1 for c in count[1:]):
+                        return zeros
+    raise ValueError(f"no PDS found for p={p}")
+
+
+def pds_compatible(num_partitions: int) -> int | None:
+    """Returns p if num_partitions == p^2+p+1 for PRIME p (the GF(p)
+    recurrence construction needs a field; the reference's generator
+    has the same constraint and FATALs otherwise —
+    distributed_graph.hpp:3196, generate_pds.hpp:29-40). p=1 is the
+    reference's special case."""
+    def is_prime(x: int) -> bool:
+        if x < 2:
+            return False
+        return all(x % d for d in range(2, int(x ** 0.5) + 1))
+
+    p = 1
+    while p * p + p + 1 <= num_partitions:
+        if p * p + p + 1 == num_partitions and (p == 1 or is_prime(p)):
+            return p
+        p += 1
+    return None
+
+
+def pds_pid_map(spark, num_partitions: int) -> "DataFrame":
+    """(sa, sb, cands array<int>) lookup: the joint constraint
+    neighbors of shard pair (sa, sb). Constraint list of shard i =
+    {(s + i) mod n : s in PDS(p)} (sharding_constraint.hpp:141-162);
+    the PDS property guarantees every pair of lists intersects, so an
+    edge (u, v) places inside A_{shard(u)} ∩ A_{shard(v)} — vertex
+    replication is bounded by |A| = p+1 ≈ sqrt(n), vs 2*sqrt(n)-1 for
+    grid. The map has n^2 tiny rows -> broadcast join at ingest."""
+    p = pds_compatible(num_partitions)
+    if p is None:
+        raise ValueError(
+            f"pds needs num_partitions = p^2+p+1 (3, 7, 13, 21, 31, 57, "
+            f"73, 91, 133, ...); got {num_partitions}"
+        )
+    n = num_partitions
+    pds = _pds_set(p)
+    lists = [sorted((s + i) % n for s in pds) for i in range(n)]
+    rows = []
+    for a in range(n):
+        sa = set(lists[a])
+        for b in range(n):
+            joint = sorted(sa.intersection(lists[b]))
+            rows.append((a, b, joint))
+    return spark.createDataFrame(rows, "sa int, sb int, cands array<int>")
+
+
+def pds_assign(
+    edges: DataFrame, num_partitions: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Attach pid via the PDS constraint map (broadcast join; the pick
+    among joint candidates is the edge-hash, mirroring constrained
+    random ingress, distributed_constrained_random_ingress.hpp:40-95)."""
+    spark = edges.sparkSession
+    m = pds_pid_map(spark, num_partitions)
+    n = num_partitions
+    # ONE shard function for both endpoints (the reference's
+    # graph_hash master assignment): the p+1 bound needs a vertex's
+    # source-side and dst-side placements to draw from the SAME
+    # constraint list A_{s(v)}.
+    def shard(c: Column) -> Column:
+        return F.pmod(F.xxhash64(F.lit(17), c), F.lit(n)).cast("int")
+
+    e = edges.withColumn("_sa", shard(F.col(src))).withColumn(
+        "_sb", shard(F.col(dst))
+    )
+    joined = e.join(
+        F.broadcast(m),
+        (e["_sa"] == m["sa"]) & (e["_sb"] == m["sb"]),
+    )
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    pick = (F.pmod(F.xxhash64(lo, hi), F.size("cands")) + 1).cast("int")
+    return (
+        joined.withColumn("pid", F.element_at("cands", pick).cast("int"))
+        .drop("_sa", "_sb", "sa", "sb", "cands")
+    )
+
+
 def assign_pid(
     edges: DataFrame,
     num_partitions: int,
@@ -89,6 +208,10 @@ def assign_pid(
     computation is one extra aggregation at ingest time only — the pid
     is then frozen into the edges table and reused every superstep.
     """
+    if strategy == "pds":
+        if salt_cap is not None:
+            raise ValueError("salt_cap is a grid-strategy option")
+        return pds_assign(edges, num_partitions, src, dst)
     if strategy == "random":
         base = random_pid(F.col(src), F.col(dst), num_partitions)
     elif strategy == "grid":

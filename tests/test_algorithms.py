@@ -234,3 +234,28 @@ def test_cc_superstep_plan_no_broadcast_of_state(spark):
     for p in plans:
         assert "BroadcastExchange" not in p, p
         assert "ShuffledHashJoin" in p, p
+
+
+def test_pagerank_delta_matches_dense(spark):
+    """Delta/gather-cache PageRank (post_delta, pagerank.cpp:124-135)
+    must agree with the dense recompute within tolerance, while
+    touching fewer rows (shrinking frontier in metrics)."""
+    from powergraph_spark.algorithms import pagerank_delta
+
+    g = build(spark, PL_EDGES)
+    dense = pagerank(g, tol=1e-8, max_iterations=300)
+    delta = pagerank_delta(g, tol=1e-8, max_iterations=300)
+    a = {r["id"]: r["rank"] for r in dense.state.collect()}
+    b = {r["id"]: r["rank"] for r in delta.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-6 for k in a), max(
+        abs(a[k] - b[k]) for k in a
+    )
+    assert delta.converged
+    # fewer-rows-touched evidence: the frontier shrinks strictly below
+    # |V| while the dense path touches |V| rows every superstep.
+    actives = [m.active for m in delta.metrics]
+    nv = g.num_vertices()
+    assert actives[-1] == 0
+    assert min(a for a in actives if a > 0) < nv
+    assert sum(actives) < delta.supersteps * nv

@@ -100,3 +100,15 @@ def test_synthetic_powerlaw_deterministic_and_skewed(spark):
     vals = sorted(degs.values())
     assert vals[len(vals) // 2] <= 2  # median small
     assert vals[-1] >= 5  # heavy tail exists
+
+
+def test_adj_preserves_isolated_source(spark, tmp_path):
+    """'src 0' declares a zero-neighbor vertex; the reference's
+    adj_parser still adds it (builtin_parsers.hpp:119-142) — it must
+    not vanish from the vertex table."""
+    p = tmp_path / "g.adj"
+    p.write_text("1 2 2 3\n9 0\n2 1 3\n")
+    g = load_graph(spark, str(p), fmt="adj", num_partitions=2)
+    verts = {r["id"] for r in g.vertices.collect()}
+    assert verts == {1, 2, 3, 9}
+    assert g.edges.count() == 3

@@ -157,3 +157,17 @@ def test_top_eigenvector_matches_numpy(spark):
     if np.dot(gv, v_np) < 0:
         gv = -gv
     assert np.allclose(gv, v_np, atol=1e-3)
+
+
+def test_kcore_multiset_reference_semantics(spark):
+    """degree='multiset' counts a reciprocal pair twice
+    (kcore.cpp:154 num_in+num_out); 'distinct' counts it once."""
+    edges = [(1, 2), (2, 1)]
+    g = Graph.from_pandas(spark, edges, num_partitions=2)
+    # multiset: the reciprocal pair gives both vertices degree 2
+    multi2 = {r["id"] for r in
+              kcore_vertices(g, 2, degree="multiset").collect()}
+    assert multi2 == {1, 2}
+    # distinct: degree 1 each -> 2-core empty
+    dist2 = {r["id"] for r in kcore_vertices(g, 2).collect()}
+    assert dist2 == set()
