@@ -115,7 +115,7 @@ def run_suite() -> dict:
     }
 
 
-SCALING_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "64"))
+SCALING_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "32"))
 
 
 def run_flagship_once(cpus: int) -> dict:

@@ -49,6 +49,7 @@ def pagerank(
     checkpoint_interval: int = 1,
     check_interval: int = 1,
     mode: str = "dataframe",
+    chain_depth: int = 1,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -61,6 +62,19 @@ def pagerank(
     (partition, dst); the final groupBy merges |parts| x |local verts|
     partials instead of |E| rows. Differential-tested against
     'dataframe' (identical semantics).
+
+    chain_depth=k (dataframe mode): fuse k gather/apply rounds into ONE
+    Spark job per materialization. The per-round plan references the
+    previous round's state exactly once (out_deg lives in a separate
+    static cached table), so the chained plan stays linear — no
+    recompute blowup — and the driver pays job submission + plan
+    analysis + |V|-row cache traffic once per k rounds instead of per
+    round. This is the per-superstep fixed-cost lever behind the
+    N->4N raw scaling number. Convergence compares rank against the
+    chain START (a k-step delta >= the per-step delta on this monotone
+    iteration), so stopping is conservative; ranks are byte-identical
+    to the unchained run at the same round count. GASResult.supersteps
+    counts CHAINS; multiply by chain_depth for rounds.
     """
     spark = graph.edges.sparkSession
     P = graph.num_partitions
@@ -145,15 +159,54 @@ def pagerank(
 
     upd = f"{RESET_PROB} + {damping} * coalesce(gathered, 0.0)"
 
-    def step(g: Graph, state: DataFrame, i: int):
-        contrib = gather(state).hint("shuffle_hash")
-        new_state = state.join(contrib, "id", "left").selectExpr(
-            "id",
-            f"{upd} AS rank",
-            "out_deg",
-            f"abs(({upd}) - rank) AS delta",
+    if chain_depth > 1 and mode == "dataframe":
+        # static vertex table: out_deg never changes, so it lives in
+        # its own cached co-partitioned DF — each chained round then
+        # touches the previous state exactly ONCE (linear plan).
+        static = init.select("id", "out_deg").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        return new_state, None
+        static.count()
+
+        def one_round(s: DataFrame) -> DataFrame:
+            contrib = (
+                edges.join(
+                    s.join(static.hint("shuffle_hash"), "id")
+                    .filter("out_deg > 0")
+                    .selectExpr("id", "rank / out_deg AS c")
+                    .hint("shuffle_hash"),
+                    edges.src == F.col("id"),
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("gathered"))
+            )
+            return static.join(contrib.hint("shuffle_hash"), "id", "left") \
+                .selectExpr("id", f"{upd} AS rank")
+
+        def step(g: Graph, state: DataFrame, i: int):
+            s = state.select("id", "rank")
+            for _ in range(chain_depth):
+                s = one_round(s)
+            # delta vs the chain START (state is materialized, so this
+            # second reference is a cache read, not a recompute)
+            new_state = s.join(
+                state.selectExpr("id", "rank AS _prev", "out_deg")
+                .hint("shuffle_hash"),
+                "id",
+            ).selectExpr(
+                "id", "rank", "out_deg", "abs(rank - _prev) AS delta"
+            )
+            return new_state, None
+    else:
+        def step(g: Graph, state: DataFrame, i: int):
+            contrib = gather(state).hint("shuffle_hash")
+            new_state = state.join(contrib, "id", "left").selectExpr(
+                "id",
+                f"{upd} AS rank",
+                "out_deg",
+                f"abs(({upd}) - rank) AS delta",
+            )
+            return new_state, None
 
     # convergence is observed on the superstep's own materialization
     # job (DataFrame.observe -> accumulators): zero extra jobs/scans.
@@ -164,13 +217,15 @@ def pagerank(
             F.max("delta").alias("metric"),
         ]
 
+    # max_iterations is in ROUNDS; run_gas counts chains
+    max_chains = -(-max_iterations // chain_depth)
     result = run_gas(
         graph,
         init,
         step,
         observe_aggs=observe_aggs,
         tol=tol,
-        max_iterations=max_iterations,
+        max_iterations=max_chains,
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
@@ -178,6 +233,8 @@ def pagerank(
         verbose=verbose,
     )
     edges.unpersist()
+    if chain_depth > 1 and mode == "dataframe":
+        static.unpersist()
     return result
 
 

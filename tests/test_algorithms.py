@@ -259,3 +259,24 @@ def test_pagerank_delta_matches_dense(spark):
     assert actives[-1] == 0
     assert min(a for a in actives if a > 0) < nv
     assert sum(actives) < delta.supersteps * nv
+
+
+def test_pagerank_chain_depth_matches_unchained(spark):
+    """chain_depth=k fuses k rounds per job; at the same round count
+    the ranks must be byte-identical to the unchained run."""
+    g = build(spark, PL_EDGES)
+    a = pagerank(g, tol=0.0, max_iterations=10, check_interval=100)
+    b = pagerank(g, tol=0.0, max_iterations=10, chain_depth=5,
+                 check_interval=100)
+    ra = {r["id"]: r["rank"] for r in a.state.collect()}
+    rb = {r["id"]: r["rank"] for r in b.state.collect()}
+    assert ra.keys() == rb.keys()
+    assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
+    assert b.supersteps == 2  # 2 chains of 5 rounds
+    # and converged mode agrees with dense within tolerance
+    c = pagerank(g, tol=1e-6, max_iterations=120, chain_depth=4,
+                 check_interval=2)
+    d = pagerank(g, tol=1e-6, max_iterations=120, check_interval=4)
+    rc = {r["id"]: r["rank"] for r in c.state.collect()}
+    rd = {r["id"]: r["rank"] for r in d.state.collect()}
+    assert all(abs(rc[k] - rd[k]) < 1e-5 for k in rc)
