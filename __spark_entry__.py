@@ -365,6 +365,25 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness(g, _seeds(g), max_depth=BETW_DEPTH).orderBy("id")
 
 
+def q_prestige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity prestige over sampled roots (prestige.cpp): directed
+    source->v hop distances on the l_linenumber-ordered part graph."""
+    from powergraph_spark.algorithms import prestige
+
+    g = Graph.from_edges(_dir_edges(spark, sf_dir), num_partitions=16)
+    return prestige(g, _seeds(g), max_depth=8).orderBy("id")
+
+
+def q_dijkstra_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path tree with parent pointers (djikstra.cpp:26-47):
+    dist + MIN-id parent among tight in-neighbors; source parent -1."""
+    from powergraph_spark.algorithms import dijkstra_tree
+
+    g = _co_graph(spark, sf_dir)
+    source = int(g.vertices.agg(F.min("id")).first()[0])
+    return dijkstra_tree(g, source=source, directed=False).orderBy("id")
+
+
 def q_directed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex directed triangle census
     (directed_triangle_count.cpp:288-345,625-636)."""
@@ -381,6 +400,43 @@ def q_directed_census_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = Graph.from_edges(_dir_edges(spark, sf_dir), num_partitions=16)
     return directed_triangle_totals(g)
+
+
+PERC_PROB = 0.5
+PERC_SEED = 7
+
+
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond percolation (warp_bond_percolation.cpp): md5-seeded edge
+    survival + engine CC over the surviving subgraph."""
+    from powergraph_spark.warp import bond_percolation
+
+    g = _co_graph(spark, sf_dir)
+    out = bond_percolation(g, PERC_PROB, seed=PERC_SEED).orderBy("id")
+    return out
+
+
+def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-cut graph Laplacian COO entries
+    (graph_laplacian.cpp:95-131,182-202)."""
+    from powergraph_spark.algorithms import graph_laplacian
+
+    g = _co_graph(spark, sf_dir)
+    return (
+        graph_laplacian(g, mode="normalized_cut")
+        .select("i", "j", F.round("value", 5).alias("value"))
+        .orderBy("i", "j")
+    )
+
+
+def q_eigen3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-iteration steps of the symmetrized adjacency
+    (TSC.cpp:87-310): per-step L2 normalization, rounded 5dp."""
+    from powergraph_spark.algorithms import top_eigenvector
+
+    g = _co_graph(spark, sf_dir)
+    vec, _ = top_eigenvector(g, max_iterations=3, tol=0.0)
+    return vec.select("id", F.round("v", 5).alias("v")).orderBy("id")
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,9 +562,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "closeness": q_closeness,
         "betweenness": q_betweenness,
+        "prestige": q_prestige,
+        "dijkstra_tree": q_dijkstra_tree,
         "directed_census": q_directed_census,
         "directed_census_totals": q_directed_census_totals,
         "coloring_conflicts": q_coloring_conflicts,
+        "percolation": q_percolation,
+        "laplacian": q_laplacian,
+        "eigen3": q_eigen3,
         "approx_diameter": q_approx_diameter,
         "lsh_topk": q_lsh_topk,
         "text_stats": q_text_stats,
@@ -761,6 +822,119 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _percolation_sql(prob: float, seed: int) -> str:
+    """Mirror of warp.bond_percolation: md5-uniform edge survival
+    (first 8 hex digits / 16^8) + min-label CC over survivors."""
+    hexv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    val = " + ".join(
+        f"{hexv.format(p=k + 1)} * {16 ** (7 - k)}" for k in range(8)
+    )
+    return f"""
+WITH RECURSIVE {_SQL_EDGES},
+verts AS (SELECT DISTINCT id FROM v),
+hashed AS (
+  SELECT src, dst,
+         md5('{seed}:' || src::VARCHAR || ',' || dst::VARCHAR) AS h
+  FROM e
+),
+kept AS (
+  SELECT src, dst FROM hashed
+  WHERE (({val})::DOUBLE / {float(16 ** 8)!r}) < {prob}
+),
+kund AS (SELECT src, dst FROM kept
+         UNION ALL SELECT dst AS src, src AS dst FROM kept),
+walk(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT kund.dst AS id, walk.comp
+  FROM walk JOIN kund ON kund.src = walk.id
+  WHERE walk.comp < kund.dst
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id ORDER BY id
+"""
+
+
+_LAPLACIAN_SQL = f"""
+WITH {_SQL_EDGES},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+off AS (
+  SELECT u.src AS i, u.dst AS j,
+         ROUND(1.0 / sqrt(da.d * db.d), 5) AS value
+  FROM und u JOIN deg da ON da.id = u.src JOIN deg db ON db.id = u.dst
+),
+diag AS (SELECT id AS i, id AS j, 2.0 AS value FROM v)
+SELECT i, j, value FROM off
+UNION ALL
+SELECT i, j, value FROM diag
+ORDER BY i, j
+"""
+
+
+def _eigen3_sql() -> str:
+    parts = [
+        "x0 AS (SELECT id, 1.0 / sqrt((SELECT COUNT(*) FROM v)) AS x FROM v)"
+    ]
+    for i in range(1, 4):
+        parts.append(
+            f"y{i} AS (SELECT v.id, COALESCE(SUM(x{i - 1}.x), 0.0) AS y "
+            f"FROM v LEFT JOIN und ON und.dst = v.id "
+            f"LEFT JOIN x{i - 1} ON x{i - 1}.id = und.src GROUP BY v.id)"
+        )
+        parts.append(
+            f"x{i} AS (SELECT id, y / (SELECT sqrt(SUM(y * y)) FROM y{i})"
+            f" AS x FROM y{i})"
+        )
+    return (
+        f"WITH {_SQL_EDGES},\n" + ",\n".join(parts)
+        + "\nSELECT id, ROUND(x, 5) AS v FROM x3 ORDER BY id"
+    )
+
+
+def _prestige_sql(n_seeds: int, max_depth: int) -> str:
+    return f"""
+WITH RECURSIVE {_SQL_DIR_EDGES},
+seeds AS (SELECT DISTINCT id FROM vd ORDER BY id LIMIT {n_seeds}),
+walk(s, id, hops) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT walk.s, ed.dst, walk.hops + 1
+  FROM walk JOIN ed ON ed.src = walk.id
+  WHERE walk.hops < {max_depth}
+),
+dist AS (SELECT s, id, MIN(hops) AS d FROM walk GROUP BY s, id)
+SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(d)::BIGINT AS sum_dist,
+       ROUND(CASE WHEN SUM(d) > 0 THEN COUNT(*)::DOUBLE / SUM(d)
+                  ELSE 0.0 END, 5) AS prestige
+FROM dist GROUP BY id ORDER BY id
+"""
+
+
+_DIJKSTRA_SQL = f"""
+WITH RECURSIVE {_SQL_EDGES},
+seed AS (SELECT MIN(id) AS id FROM v),
+walk(id, hops) AS (
+  SELECT id, 0 FROM seed
+  UNION
+  SELECT und.dst, walk.hops + 1
+  FROM walk JOIN und ON und.src = walk.id
+  WHERE walk.hops < 39
+),
+dist AS (SELECT id, MIN(hops) AS d FROM walk GROUP BY id),
+parents AS (
+  SELECT e2.dst AS id, MIN(e2.src) AS parent
+  FROM und e2
+  JOIN dist a ON a.id = e2.src
+  JOIN dist b ON b.id = e2.dst AND b.d = a.d + 1
+  GROUP BY e2.dst
+)
+SELECT d.id, d.d::DOUBLE AS dist,
+       (CASE WHEN d.id = (SELECT id FROM seed) THEN -1
+             ELSE p.parent END)::BIGINT AS parent
+FROM dist d LEFT JOIN parents p ON p.id = d.id
+ORDER BY d.id
 """
 
 
@@ -1113,8 +1287,13 @@ FROM toks ORDER BY doc_id
 """,
         "lang_histogram": _lang_sql(),
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),
+        "percolation": _percolation_sql(PERC_PROB, PERC_SEED),
+        "laplacian": _LAPLACIAN_SQL,
+        "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),
         "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
+        "prestige": _prestige_sql(N_SEEDS, 8),
+        "dijkstra_tree": _DIJKSTRA_SQL,
         "directed_census": f"""
 WITH {_SQL_CENSUS_CORE}
 SELECT * FROM per_v ORDER BY id

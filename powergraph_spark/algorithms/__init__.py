@@ -1,5 +1,5 @@
 from .approx_diameter import approx_diameter
-from .centrality import betweenness, closeness, multi_source_bfs
+from .centrality import betweenness, closeness, multi_source_bfs, prestige
 from .coloring import coloring, count_conflicts
 from .connected_components import component_sizes, connected_components
 from .directed_triangles import (
@@ -11,7 +11,7 @@ from .laplacian import graph_laplacian
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, pagerank_delta, total_rank
-from .sssp import sssp
+from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
@@ -36,6 +36,8 @@ __all__ = [
     "graph_laplacian",
     "multi_source_bfs",
     "closeness",
+    "prestige",
+    "dijkstra_tree",
     "betweenness",
     "directed_triangle_counts",
     "directed_triangle_totals",

@@ -210,3 +210,34 @@ def betweenness(
     bfs.unpersist()
     e.unpersist()
     return result
+
+
+def prestige(
+    graph: Graph,
+    sources: list[int],
+    max_depth: int = 32,
+) -> DataFrame:
+    """(id, n_sources, sum_dist, prestige): proximity prestige over the
+    sampled sources — how reachable v is FROM the sample along edge
+    direction (prestige.cpp runs one Dijkstra tree per root and
+    averages path costs per vertex; unweighted here, so tree distance
+    = hop distance). prestige = n_sources / sum_dist, 0.0 when only
+    self-reached. The same composite-key multi-source frontier as
+    closeness, with direction fixed to OUT (source -> v paths)."""
+    bfs = multi_source_bfs(graph, sources, directed=True, max_depth=max_depth)
+    agg = bfs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+    return agg.select(
+        "id",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "sum_dist",
+        F.round(
+            F.when(
+                F.col("sum_dist") > 0,
+                F.col("n_sources").cast("double") / F.col("sum_dist"),
+            ).otherwise(F.lit(0.0)),
+            5,
+        ).alias("prestige"),
+    )

@@ -102,3 +102,49 @@ def sssp(
     )
     e.unpersist()
     return result
+
+
+def dijkstra_tree(
+    graph: Graph,
+    source: int,
+    weight_col: str | None = None,
+    directed: bool = True,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """(id, dist, parent): the shortest-path tree the reference's
+    djikstra.cpp carries on each vertex (DjikstraNode.id = previous
+    node on the best path, djikstra.cpp:26-47). Distances via the
+    sssp frontier relaxation; the parent is recovered declaratively:
+    parent(v) = MIN id among in-neighbors u with dist(u) + w == dist(v)
+    (deterministic tie-break; the reference keeps whichever relaxation
+    won the race). Source parent = -1. Unreachable vertices omitted."""
+    res = sssp(graph, source=source, weight_col=weight_col,
+               directed=directed, max_iterations=max_iterations)
+    dist = res.state.filter(
+        ~F.isnan("dist") & (F.col("dist") != float("inf"))
+    ).select("id", "dist")
+    w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
+    e = graph.edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        e = e.unionAll(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                w.alias("w"),
+            )
+        )
+    du = dist.select(F.col("id").alias("src"), F.col("dist").alias("du"))
+    dv = dist.select(F.col("id").alias("dst"), F.col("dist").alias("dv"))
+    parents = (
+        e.join(du, "src").join(dv, "dst")
+        .filter(F.col("du") + F.col("w") == F.col("dv"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("parent"))
+    )
+    return (
+        dist.join(parents, "id", "left")
+        .select(
+            "id", "dist",
+            F.when(F.col("id") == source, F.lit(-1))
+            .otherwise(F.col("parent")).cast("long").alias("parent"),
+        )
+    )

@@ -73,12 +73,18 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     audio/video: byte-level stats. Deterministic."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-ITEM work is the codec call itself (irreducible once real
+        # codecs land); everything around it is numpy over raw column
+        # arrays — no pandas row objects (iterrows) in the loop.
         for b in batches:
             feats, notes = [], []
-            for _, r in b.iterrows():
-                payload = bytes(r["payload"])
-                if r["kind"] == "image":
-                    img = _decode_image_stub(payload, r["width"], r["height"])
+            for kind, payload, w, h in zip(
+                b["kind"].to_numpy(), b["payload"].to_numpy(),
+                b["width"].to_numpy(), b["height"].to_numpy(),
+            ):
+                payload = bytes(payload)
+                if kind == "image":
+                    img = _decode_image_stub(payload, w, h)
                     hist, _ = np.histogram(img, bins=dim, range=(0, 255))
                     f = (hist / max(1, img.size)).astype(np.float32)
                     notes.append("stub-decode:image")
@@ -87,7 +93,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     chunks = np.array_split(arr.astype(np.float32), dim)
                     f = np.array([c.mean() if len(c) else 0.0 for c in chunks],
                                  dtype=np.float32) / 255.0
-                    notes.append(f"stub-decode:{r['kind']}")
+                    notes.append(f"stub-decode:{kind}")
                 feats.append(f.tolist())
             yield pd.DataFrame({
                 "media_id": b["media_id"], "kind": b["kind"],
@@ -105,12 +111,15 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
         for b in batches:
             b = b[b["kind"] == "image"]
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_image_stub(bytes(r["payload"]), r["width"], r["height"])
+            for mid, payload, w, h in zip(
+                b["media_id"].to_numpy(), b["payload"].to_numpy(),
+                b["width"].to_numpy(), b["height"].to_numpy(),
+            ):
+                img = _decode_image_stub(bytes(payload), w, h)
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 thumb = img[np.ix_(ys, xs)].astype(np.uint8).tobytes()
-                rows.append((r["media_id"], thumb, out_w, out_h))
+                rows.append((mid, thumb, out_w, out_h))
             yield pd.DataFrame(rows, columns=["media_id", "thumb", "width", "height"])
 
     return media.mapInPandas(kern, schema=THUMB_SCHEMA)
@@ -124,11 +133,14 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         for b in batches:
             b = b[b["kind"] == "video"]
             rows = []
-            for _, r in b.iterrows():
-                payload = bytes(r["payload"])
-                for fi in range(0, int(r["n_frames"]), every_n):
+            for mid, payload, nf in zip(
+                b["media_id"].to_numpy(), b["payload"].to_numpy(),
+                b["n_frames"].to_numpy(),
+            ):
+                payload = bytes(payload)
+                for fi in range(0, int(nf), every_n):
                     frame = payload[fi % max(1, len(payload) - 16):][:16]
-                    rows.append((r["media_id"], fi, frame))
+                    rows.append((mid, fi, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
 
     return media.mapInPandas(kern, schema=FRAME_SCHEMA)

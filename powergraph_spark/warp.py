@@ -126,13 +126,18 @@ def bond_percolation(
     """Bond percolation (warp_bond_percolation.cpp): keep each edge
     independently with probability survive_prob (deterministic seeded
     hash), then label the percolation clusters via the engine's
-    connected components. Returns (id, component)."""
+    connected components. Returns (id, component).
+
+    The per-edge uniform is md5-derived (first 8 hex digits / 16^8) so
+    an ANSI-SQL oracle reproduces the exact surviving edge set."""
     from .algorithms import connected_components
 
-    # deterministic "random": uniform in [0,1) from the edge hash
     u = (
-        F.pmod(F.xxhash64(F.lit(seed), "src", "dst"), F.lit(1 << 30))
-        / F.lit(float(1 << 30))
+        F.expr(
+            f"conv(substring(md5(concat('{seed}:', src, ',', dst)), 1, 8),"
+            " 16, 10)"
+        ).cast("long")
+        / F.lit(float(16 ** 8))
     )
     kept = graph.edges.filter(u < survive_prob).select("src", "dst")
     sub = Graph.from_edges(
