@@ -452,6 +452,44 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- training-data pipeline ops
 
 
+SIMHASH_MAX_HAMMING = 8
+EMB_DUP_THRESHOLD = 0.25
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit-block pigeonhole join + exact
+    hamming filter (bucket-capped)."""
+    from powergraph_spark.datapipe.dedup import simhash_near_dups
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=MINHASH_CAP
+    ).orderBy("id_a", "id_b")
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification on the MinHash-LSH candidate
+    pairs (the verification stage of the dedup pipeline)."""
+    from powergraph_spark.datapipe.dedup import jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=16, k=3,
+        hash_family="md5", max_bucket=MINHASH_CAP,
+    )
+    return jaccard_pairs(docs, cands, k=3).orderBy("id_a", "id_b")
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucketed cosine >= threshold."""
+    from powergraph_spark.datapipe.similarity import embedding_near_dups
+
+    vecs = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        vecs, threshold=EMB_DUP_THRESHOLD, n_planes=6, seed=42
+    ).orderBy("id_a", "id_b")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char counting over the documents table (JVM exprs)."""
     docs = _load(spark, sf_dir, "documents")
@@ -580,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "jaccard": q_jaccard,
+        "embedding_dups": q_embedding_dups,
     }
 
 
@@ -621,7 +662,9 @@ def _kcore_sql(k: int, unroll: int) -> str:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_fp_ctes() -> str:
+    """CTE body computing fpall(doc_id, simhash) — the md5-vote
+    fingerprint for every document."""
     votes = []
     for kbit in range(64):
         j, b = divmod(kbit, 4)
@@ -637,22 +680,56 @@ def _simhash_sql() -> str:
             for b in range(4)
         )
         nibs.append(f"substr('{_HEX}', ({nib}) + 1, 1)")
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
 ),
 h AS (SELECT doc_id, md5(tok) AS h FROM toks),
 votes AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id),
-fp AS (SELECT doc_id, ({' || '.join(nibs)}) AS simhash FROM votes)
-SELECT d.doc_id, COALESCE(fp.simhash, '0000000000000000') AS simhash
-FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id
+fp AS (SELECT doc_id, ({' || '.join(nibs)}) AS simhash FROM votes),
+fpall AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(fp.simhash, '0000000000000000') AS simhash
+  FROM documents d LEFT JOIN fp USING (doc_id)
+)"""
+
+
+def _simhash_sql() -> str:
+    return (
+        f"WITH {_simhash_fp_ctes()}\n"
+        "SELECT doc_id, simhash FROM fpall ORDER BY doc_id"
+    )
+
+
+def _simhash_dups_sql(max_hamming: int, cap: int) -> str:
+    ham = " + ".join(
+        f"bit_count(xor((strpos('{_HEX}', substr(ha, {j + 1}, 1)) - 1),"
+        f" (strpos('{_HEX}', substr(hb, {j + 1}, 1)) - 1)))"
+        for j in range(16)
+    )
+    return f"""
+WITH {_simhash_fp_ctes()},
+blocks AS (
+  SELECT doc_id, simhash, b.b AS blk, substr(simhash, b.b * 4 + 1, 4) AS key
+  FROM fpall CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b
+),
+ok AS (SELECT blk, key FROM blocks GROUP BY blk, key HAVING COUNT(*) <= {cap}),
+kept AS (SELECT bl.* FROM blocks bl JOIN ok USING (blk, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM kept a JOIN kept b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({ham})::BIGINT AS hamming
+FROM pairs WHERE ({ham}) <= {max_hamming}
+ORDER BY id_a, id_b
 """
 
 
-def _minhash_sql(num_hashes: int, bands: int, k: int, cap: int) -> str:
+def _minhash_ctes(num_hashes: int, bands: int, k: int, cap: int) -> str:
+    """CTE body ending in cand(id_a, id_b) — the capped LSH candidate
+    pairs — plus toks for downstream shingle reuse."""
     r = num_hashes // bands
-    return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(t) >= {k} THEN list_transform(
@@ -675,11 +752,71 @@ ok AS (
   SELECT band, bucket FROM bands GROUP BY band, bucket
   HAVING COUNT(*) <= {cap}
 ),
-kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket))
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM kept a JOIN kept b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
+kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, k: int, cap: int) -> str:
+    return (
+        f"WITH {_minhash_ctes(num_hashes, bands, k, cap)}\n"
+        "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+    )
+
+
+def _jaccard_sql(num_hashes: int, bands: int, k: int, cap: int) -> str:
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, k, cap)},
+sharr AS MATERIALIZED (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= {k} THEN list_transform(
+        generate_series(1, len(t) - {k - 1}),
+        i -> array_to_string(t[i:i+{k - 1}], ' '))
+    ELSE t END) AS sh
+  FROM toks
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE AS ilen,
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+           AS ulen
+  FROM cand c
+  JOIN sharr a ON a.doc_id = c.id_a
+  JOIN sharr b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN ulen > 0 THEN ilen / ulen ELSE 0.0 END, 5) AS jaccard
+FROM scored ORDER BY id_a, id_b
+"""
+
+
+def _embedding_dups_sql(n_planes: int, threshold: float) -> str:
+    from powergraph_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {plane_lits[i]}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+vb AS (SELECT id, vec, ({bucket}) AS bucket FROM vv),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, ROUND(sim, 5) AS sim
+FROM pairs WHERE sim >= {threshold} ORDER BY id_a, id_b
 """
 
 
@@ -1307,7 +1444,10 @@ SELECT SUM(in_triangles)::BIGINT AS in_triangles,
 FROM per_v
 """,
         "simhash": _simhash_sql(),
+        "simhash_dups": _simhash_dups_sql(SIMHASH_MAX_HAMMING, MINHASH_CAP),
         "minhash_candidates": _minhash_sql(32, 16, 3, MINHASH_CAP),
+        "jaccard": _jaccard_sql(32, 16, 3, MINHASH_CAP),
+        "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD),
         "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
         "lsh_topk": _lsh_topk_sql(6, 5),
         "knn_cosine": """
