@@ -519,6 +519,36 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: keep the min-id doc per distinct text."""
+    from powergraph_spark.datapipe import dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id").orderBy("doc_id")
+
+
+def q_text_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-stat width: whitespace + BPE-ish token counts,
+    stopword/punct/alpha ratios (datapipe.text, all JVM exprs)."""
+    from powergraph_spark.datapipe.text import (
+        alpha_ratio,
+        bpe_token_count,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe"),
+        F.round(stopword_ratio(c), 5).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 5).alias("punct_ratio"),
+        F.round(alpha_ratio(c), 5).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-min-hash document fingerprint (rolling 5-gram md5 min)."""
     docs = _load(spark, sf_dir, "documents")
@@ -547,6 +577,17 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _load(spark, sf_dir, "embeddings")
     qs = vecs.filter(F.col("vec_id") < 5)
     return brute_force_topk(vecs, qs, k=5).orderBy("query_id", "rank")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantization, nprobe-cell search."""
+    from powergraph_spark.datapipe import ivf_topk
+
+    vecs = _load(spark, sf_dir, "embeddings")
+    qs = vecs.filter(F.col("vec_id") < 5)
+    return ivf_topk(vecs, qs, k=5, n_cells=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
 
 
 MINHASH_CAP = 1000  # max bucket size (boilerplate-bucket guard),
@@ -613,9 +654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "exact_dup_groups": q_exact_dup_groups,
+        "dedup_exact": q_dedup_exact,
+        "text_quality_full": q_text_quality_full,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_histogram": q_lang_histogram,
         "knn_cosine": q_knn_cosine,
+        "ivf_topk": q_ivf_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "simhash_dups": q_simhash_dups,
@@ -790,6 +834,67 @@ scored AS (
 SELECT id_a, id_b,
        ROUND(CASE WHEN ulen > 0 THEN ilen / ulen ELSE 0.0 END, 5) AS jaccard
 FROM scored ORDER BY id_a, id_b
+"""
+
+
+def _ivf_sql(n_cells: int, nprobe: int, k: int) -> str:
+    """Mirror of datapipe.similarity.ivf_topk: seeded unit centroids,
+    assignment = argmax cosine (tie -> larger cell id, matching the
+    reversed array_sort), queries probe the nprobe best cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    cents = rng.randn(n_cells, 64).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(v.e, c.cv)"
+        " / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT * FROM (VALUES {vals}) c(cell, cv)),
+sims AS (
+  SELECT v.vec_id, c.cell, {cos} AS sim
+  FROM vecs v CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell DESC) AS rn
+  FROM sims
+),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE rn <= {nprobe} AND vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.e, n.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(n.e, n.e))) AS sim
+  FROM cand c
+  JOIN vecs q ON q.vec_id = c.query_id
+  JOIN vecs n ON n.vec_id = c.neighbor_id
+),
+final AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
+FROM final WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
@@ -1407,6 +1512,33 @@ FROM documents ORDER BY doc_id
 SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
 FROM documents GROUP BY md5(text) ORDER BY text_md5
 """,
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+ORDER BY doc_id
+""",
+        "text_quality_full": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform({_SQL_TOKS}, x -> lower(x)) AS ltoks,
+         {_SQL_TOKS} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         AS n_bpe,
+       ROUND(CASE WHEN len(toks) > 0 THEN
+         len(list_intersect(ltoks,
+             ['the','and','of','to','in','is','that','with']))::DOUBLE
+           / len(toks) ELSE 0.0 END, 5) AS stopword_ratio,
+       ROUND(CASE WHEN length(text) > 0 THEN
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+           / length(text) ELSE 0.0 END, 5) AS punct_ratio,
+       ROUND(CASE WHEN length(text) > 0 THEN
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) ELSE 0.0 END, 5) AS alpha_ratio
+FROM t ORDER BY doc_id
+""",
         "doc_fingerprint": """
 WITH toks AS (
   SELECT doc_id, text,
@@ -1450,6 +1582,7 @@ FROM per_v
         "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD),
         "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
         "lsh_topk": _lsh_topk_sql(6, 5),
+        "ivf_topk": _ivf_sql(16, 4, 5),
         "knn_cosine": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
