@@ -315,6 +315,39 @@ def q_coloring_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_coloring_ordered(spark: SparkSession, sf_dir: str, order: str) -> DataFrame:
+    """Ordered-priority colorer + two engine-side invariants the oracle
+    can assert as constants: zero monochromatic edges (the reference's
+    own validation) and the greedy bound n_colors <= max_degree + 1
+    (holds for ANY greedy selection order, so a colorer that blows the
+    bound fails the hash compare)."""
+    from powergraph_spark.algorithms import coloring, count_colors, count_conflicts
+
+    g = _co_graph(spark, sf_dir)
+    colors = coloring(g, order=order)
+    n_conflicts = count_conflicts(g, colors)
+    n_colors = count_colors(colors)
+    max_deg = int(
+        g.all_edges_view().groupBy("src").count().agg(F.max("count")).first()[0]
+    )
+    return spark.createDataFrame(
+        [(n_conflicts, bool(n_colors <= max_deg + 1))],
+        "n_conflicts long, within_degree_bound boolean",
+    )
+
+
+def q_coloring_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered coloring (degree_ordered_coloring.cpp): high-
+    degree vertices pick colors first."""
+    return _q_coloring_ordered(spark, sf_dir, "degree")
+
+
+def q_coloring_dsatur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturation-ordered (DSATUR) coloring
+    (saturation_ordered_coloring.cpp)."""
+    return _q_coloring_ordered(spark, sf_dir, "saturation")
+
+
 DIAM_R = 8
 DIAM_MAX_HOPS = 16
 DIAM_TOL = 1e-9  # stop when relative growth <= tol; 1e-9 makes the
@@ -486,7 +519,8 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _load(spark, sf_dir, "embeddings")
     return embedding_near_dups(
-        vecs, threshold=EMB_DUP_THRESHOLD, n_planes=6, seed=42
+        vecs, threshold=EMB_DUP_THRESHOLD, n_planes=6, seed=42,
+        max_bucket=MINHASH_CAP,
     ).orderBy("id_a", "id_b")
 
 
@@ -646,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_census": q_directed_census,
         "directed_census_totals": q_directed_census_totals,
         "coloring_conflicts": q_coloring_conflicts,
+        "coloring_degree": q_coloring_degree,
+        "coloring_dsatur": q_coloring_dsatur,
         "percolation": q_percolation,
         "laplacian": q_laplacian,
         "eigen3": q_eigen3,
@@ -744,17 +780,23 @@ def _simhash_sql() -> str:
 
 
 def _simhash_dups_sql(max_hamming: int, cap: int) -> str:
+    from powergraph_spark.datapipe.dedup import simhash_block_bounds
+
     ham = " + ".join(
         f"bit_count(xor((strpos('{_HEX}', substr(ha, {j + 1}, 1)) - 1),"
         f" (strpos('{_HEX}', substr(hb, {j + 1}, 1)) - 1)))"
         for j in range(16)
     )
+    # max_hamming+1 nibble blocks (full-recall pigeonhole) — mirrors
+    # dedup.simhash_block_bounds exactly.
+    block_rows = " UNION ALL ".join(
+        f"SELECT {b} AS blk, substr(simhash, {lo + 1}, {hi - lo}) AS key, "
+        "doc_id, simhash FROM fpall"
+        for b, (lo, hi) in enumerate(simhash_block_bounds(max_hamming))
+    )
     return f"""
 WITH {_simhash_fp_ctes()},
-blocks AS (
-  SELECT doc_id, simhash, b.b AS blk, substr(simhash, b.b * 4 + 1, 4) AS key
-  FROM fpall CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b
-),
+blocks AS ({block_rows}),
 ok AS (SELECT blk, key FROM blocks GROUP BY blk, key HAVING COUNT(*) <= {cap}),
 kept AS (SELECT bl.* FROM blocks bl JOIN ok USING (blk, key)),
 pairs AS (
@@ -898,7 +940,7 @@ FROM final WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
-def _embedding_dups_sql(n_planes: int, threshold: float) -> str:
+def _embedding_dups_sql(n_planes: int, threshold: float, cap: int) -> str:
     from powergraph_spark.datapipe.similarity import _hyperplanes
 
     planes = _hyperplanes(64, n_planes, seed=42)
@@ -913,12 +955,17 @@ def _embedding_dups_sql(n_planes: int, threshold: float) -> str:
     return f"""
 WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 vb AS (SELECT id, vec, ({bucket}) AS bucket FROM vv),
+vkept AS (
+  SELECT id, vec, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _n FROM vb
+  ) WHERE _n <= {cap}
+),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          list_dot_product(a.vec, b.vec)
            / (sqrt(list_dot_product(a.vec, a.vec))
               * sqrt(list_dot_product(b.vec, b.vec))) AS sim
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.id < b.id
+  FROM vkept a JOIN vkept b ON a.bucket = b.bucket AND a.id < b.id
 )
 SELECT id_a, id_b, ROUND(sim, 5) AS sim
 FROM pairs WHERE sim >= {threshold} ORDER BY id_a, id_b
@@ -1486,6 +1533,12 @@ SELECT id, MIN(hops)::BIGINT AS hops FROM walk GROUP BY id ORDER BY id
         "coloring_conflicts": """
 SELECT CAST(0 AS BIGINT) AS n_conflicts
 """,
+        "coloring_degree": """
+SELECT CAST(0 AS BIGINT) AS n_conflicts, true AS within_degree_bound
+""",
+        "coloring_dsatur": """
+SELECT CAST(0 AS BIGINT) AS n_conflicts, true AS within_degree_bound
+""",
         "text_stats": """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -1579,7 +1632,7 @@ FROM per_v
         "simhash_dups": _simhash_dups_sql(SIMHASH_MAX_HAMMING, MINHASH_CAP),
         "minhash_candidates": _minhash_sql(32, 16, 3, MINHASH_CAP),
         "jaccard": _jaccard_sql(32, 16, 3, MINHASH_CAP),
-        "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD),
+        "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD, MINHASH_CAP),
         "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
         "lsh_topk": _lsh_topk_sql(6, 5),
         "ivf_topk": _ivf_sql(16, 4, 5),

@@ -1,13 +1,13 @@
 from .approx_diameter import approx_diameter
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
-from .coloring import coloring, count_conflicts
+from .coloring import coloring, count_colors, count_conflicts
 from .connected_components import component_sizes, connected_components
 from .directed_triangles import (
     directed_triangle_counts,
     directed_triangle_totals,
 )
 from .eigen import normalize_eigenvector, top_eigenvector
-from .laplacian import graph_laplacian
+from .laplacian import graph_laplacian, write_spectral_inputs
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, pagerank_delta, total_rank
@@ -30,10 +30,12 @@ __all__ = [
     "coreness",
     "approx_diameter",
     "coloring",
+    "count_colors",
     "count_conflicts",
     "top_eigenvector",
     "normalize_eigenvector",
     "graph_laplacian",
+    "write_spectral_inputs",
     "multi_source_bfs",
     "closeness",
     "prestige",

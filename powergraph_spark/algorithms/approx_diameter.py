@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -68,23 +68,28 @@ def _init_masks(vertices: DataFrame, r: int) -> DataFrame:
     return with_h.selectExpr("id", f"array({masks}) AS masks")
 
 
+def _fm_est_expr(r: int) -> str:
+    """Per-ROW SQL expression for a vertex's FM estimate from its mask
+    array (approximate_diameter.cpp:150-170):
+    2^(mean lowest-unset-bit)/0.77351, lowest-unset-bit = trailing-ones
+    = bit_count(m & ~(m+1)). A pure array `aggregate` — no explode, no
+    groupBy — so the global estimate is ONE sum that can ride any job
+    via `observe`. (SQL-string ~ is bitwise NOT; the PySpark Column ~
+    operator is boolean NOT.)"""
+    m = f"(x & {_M61}L)"
+    to = f"cast(least(bit_count({m} & ~({m} + 1)), 60) as double)"
+    mean_b = f"aggregate(masks, cast(0.0 as double), (acc, x) -> acc + {to}) / {r}"
+    return f"pow(2.0, {mean_b}) / 0.77351"
+
+
 def _fm_count(masks_df: DataFrame, r: int) -> float:
-    """Sum over vertices of the FM estimate from each vertex's masks
-    (approximate_diameter.cpp:150-170): 2^(mean lowest-unset-bit)/0.77351.
-    lowest-unset-bit = trailing-ones count = bit_count(m & ~(m+1))."""
-    exploded = masks_df.select("id", F.explode("masks").alias("m"))
-    # trailing-ones count: bit_count(m & ~(m+1)); SQL-string ~ is
-    # bitwise NOT (the PySpark Column ~ operator is boolean NOT).
-    pos = (
-        f"cast(least(bit_count((m & {_M61}L) & ~((m & {_M61}L) + 1)), 60) "
-        "as double)"
+    """Sum over vertices of the per-vertex FM estimate (standalone job;
+    the hop loop gets the same number for free via observe)."""
+    total = (
+        masks_df.selectExpr(f"{_fm_est_expr(r)} AS est")
+        .agg(F.sum("est"))
+        .first()[0]
     )
-    per_vertex = exploded.selectExpr("id", f"{pos} AS b").groupBy("id").agg(
-        F.avg("b").alias("mean_b")
-    )
-    total = per_vertex.agg(
-        F.sum(F.pow(F.lit(2.0), F.col("mean_b")) / F.lit(0.77351))
-    ).first()[0]
     return float(total or 0.0)
 
 
@@ -126,12 +131,18 @@ def approx_diameter(
                     F.zip_with("masks", "nbr_masks", lambda a, b: a.bitwiseOR(b)),
                 ).otherwise(F.col("masks")).alias("masks"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # the hop estimate rides the hop's own materialization job as
+        # an observe accumulator — zero extra |V| x R scans per hop
+        # (the same fusion discipline as run_gas's convergence ballot)
+        obs = Observation()
+        new_state = new_state.observe(
+            obs, F.expr(f"sum({_fm_est_expr(r)})").alias("est")
         )
         new_state = new_state.localCheckpoint(eager=True)
         state.unpersist()
         state = new_state
-        est = _fm_count(state, r)
+        est = float(obs.get["est"] or 0.0)
         if verbose:
             print(f"[diameter] hop={hop} est={est:.1f}")
         history.append(est)

@@ -1,4 +1,4 @@
-"""Greedy graph coloring (Jones-Plassmann style).
+"""Greedy graph coloring (Jones-Plassmann style) — three priority orders.
 
 Reference: /root/reference/toolkits/graph_analytics/simple_coloring.cpp
 :49-158 — gather the neighbor color set, apply the minimum free color;
@@ -6,11 +6,28 @@ the reference runs this on the ASYNC engine with edge consistency
 because synchronous parallel recoloring oscillates. Spark is BSP, so we
 use the Jones-Plassmann independent-set schedule, the standard
 synchronous-parallel formulation of the same greedy: each round, every
-uncolored vertex whose random priority beats all uncolored neighbors
-takes the minimum color unused by its colored neighbors. Same
-capability contract — a valid coloring (validated like the reference's
+uncolored vertex whose priority beats all uncolored neighbors takes the
+minimum color unused by its colored neighbors. Same capability
+contract — a valid coloring (validated like the reference's
 zero-conflict check via map_reduce_edges, simple_coloring.cpp:262) —
-with deterministic results (hash priorities).
+with deterministic results (hash tie-breaks).
+
+The reference ships three further colorers that differ ONLY in the
+selection order; they map onto the same JP loop as priority swaps:
+
+- order='jp'         priority = hash(id)                (simple_coloring.cpp)
+- order='degree'     priority = (degree, hash)          — high-degree
+  vertices color first; measurably fewer colors on power-law graphs
+  (degree_ordered_coloring.cpp:1-401, priority at :150-170)
+- order='saturation' priority = (saturation, degree, hash) — DSATUR:
+  saturation = count of DISTINCT colors among already-colored
+  neighbors, recomputed every wave
+  (saturation_ordered_coloring.cpp:1-412, saturation gather at :120-190)
+
+Loop discipline note: the per-wave `uncolored.isEmpty()` is a REAL
+action on the filtered state and is REQUIRED — with localCheckpoint
+alone this loop exhibits a per-wave task-time blowup (measured; see
+BENCH notes). Do not replace it with observe/count.
 """
 
 from __future__ import annotations
@@ -21,9 +38,19 @@ from pyspark.storagelevel import StorageLevel
 
 from ..graph import Graph
 
+ORDERS = ("jp", "degree", "saturation")
 
-def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> DataFrame:
-    """Returns (id, color int). Deterministic: priority = xxhash64(id)."""
+
+def coloring(
+    graph: Graph,
+    max_iterations: int = 200,
+    order: str = "jp",
+    verbose: bool = False,
+) -> DataFrame:
+    """Returns (id, color int). Deterministic for every order (hash
+    tie-breaks). See module docstring for the three priority orders."""
+    if order not in ORDERS:
+        raise ValueError(f"order must be one of {ORDERS}, got {order!r}")
     P = graph.num_partitions
     sym = graph.symmetrized_edges().repartition(P, "src").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -34,33 +61,76 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
     # shuffle-hash joins run with zero exchange on the state side —
     # the same discipline as pagerank.py (AQE otherwise broadcasts the
     # |V|-row uncolored set every wave).
-    state = graph.vertices.select(
-        "id", F.lit(None).cast("int").alias("color"),
-        F.xxhash64("id").alias("prio"),
-    ).repartition(P, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    if order == "jp":
+        base_prio = [F.xxhash64("id").alias("prio")]
+        state = graph.vertices.select(
+            "id", F.lit(None).cast("int").alias("color"), *base_prio
+        ).repartition(P, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        state = (
+            graph.vertices.select("id")
+            .join(deg, "id", "left")
+            .select(
+                "id",
+                F.lit(None).cast("int").alias("color"),
+                F.struct(
+                    F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+                    F.xxhash64("id").alias("h"),
+                ).alias("prio"),
+            )
+            .repartition(P, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     for it in range(max_iterations):
         uncolored = state.filter(F.col("color").isNull())
         if uncolored.isEmpty():
             break
-        # winners: uncolored vertices beating all uncolored neighbors
+        if order == "saturation":
+            # DSATUR: per-wave saturation gather over colored neighbors
+            sat = (
+                sym.join(
+                    state.filter(F.col("color").isNotNull())
+                    .select(F.col("id").alias("src"), F.col("color").alias("nc"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.countDistinct("nc").alias("sat"))
+            )
+            cand = (
+                uncolored.join(sat.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.struct(
+                        F.coalesce("sat", F.lit(0)).cast("long").alias("sat"),
+                        F.col("prio.deg").alias("deg"),
+                        F.col("prio.h").alias("h"),
+                    ).alias("p"),
+                )
+            )
+        else:
+            cand = uncolored.select("id", F.col("prio").alias("p"))
+        # winners: candidates beating all uncolored neighbors on (p, id)
         nbr_prio = (
             sym.join(
-                uncolored.select(F.col("id").alias("src"),
-                                 F.col("prio").alias("nprio"))
+                cand.select(F.col("id").alias("src"), F.col("p").alias("np"))
                 .hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.max(F.struct("nprio", F.col("src").alias("nid"))).alias("mx"))
-            .select("id", F.col("mx.nprio").alias("max_nprio"),
+            .agg(F.max(F.struct(F.col("np"), F.col("src").alias("nid"))).alias("mx"))
+            .select("id", F.col("mx.np").alias("max_np"),
                     F.col("mx.nid").alias("max_nid"))
         )
         winners = (
-            uncolored.join(nbr_prio, "id", "left")
+            cand.join(nbr_prio, "id", "left")
             .filter(
-                F.col("max_nprio").isNull()
-                | (F.struct("prio", "id")
-                   > F.struct(F.col("max_nprio").alias("prio"),
-                              F.col("max_nid").alias("id")))
+                F.col("max_np").isNull()
+                | (F.struct(F.col("p").alias("np"), F.col("id").alias("nid"))
+                   > F.struct(F.col("max_np").alias("np"),
+                              F.col("max_nid").alias("nid")))
             )
             .select(F.col("id").alias("wid"))
         )
@@ -101,10 +171,16 @@ def coloring(graph: Graph, max_iterations: int = 200, verbose: bool = False) -> 
         state.unpersist()
         state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         if verbose:
-            print(f"[coloring] round {it}")
+            print(f"[coloring:{order}] round {it}")
 
     sym.unpersist()
     return state.select("id", F.col("color").cast("int").alias("color"))
+
+
+def count_colors(colors: DataFrame) -> int:
+    """Number of distinct colors used (the quality metric the ordered
+    variants improve)."""
+    return colors.select("color").distinct().count()
 
 
 def count_conflicts(graph: Graph, colors: DataFrame) -> int:

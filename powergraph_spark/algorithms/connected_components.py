@@ -32,6 +32,7 @@ def connected_components(
     checkpoint: CheckpointStore | None = None,
     checkpoint_interval: int = 4,
     check_interval: int = 1,
+    edge_aggregators: dict[str, list] | None = None,
     plan_hook=None,
     resume: bool = False,
     verbose: bool = False,
@@ -92,6 +93,7 @@ def connected_components(
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
+        edge_aggregators=edge_aggregators,
         plan_hook=plan_hook,
         resume=resume,
         verbose=verbose,

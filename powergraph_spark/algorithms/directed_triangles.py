@@ -16,11 +16,19 @@ and folds them into per-vertex counts (:625-636):
     in_triangles(x)      = Σ_{s->x}  st_st(s,x)
 Totals are the plain vertex sums (:666-668, no normalization).
 
-Spark mapping: adjacency sets per vertex (two partially-aggregated
-collect_set shuffles), per-edge intersection via JVM array_intersect,
-then two partial-agg'd groupBys. The reference holds the same full
-neighbor sets per vertex (vid_vector with a hash threshold), so the
-O(deg) hub cost matches the reference's own shape; the degree-ordered
+Spark mapping: WEDGE-COUNT self-joins, not per-vertex adjacency sets.
+Each of the three intersection counts is an edge-table self-join on
+the shared endpoint (the wedge center) followed by a partially-
+aggregated groupBy on the wedge's ordered endpoint pair, then a
+per-edge lookup join. The wedge stream is O(sum deg^2) rows but is
+PIPELINED through Spark's partial hash aggregation — tiny fixed-width
+rows that spill gracefully and that AQE's skew-join splitting can cut
+per-hub, unlike a collect_set formulation whose single 10^7-degree hub
+row is an ~80 MB array replicated once per incident edge through the
+join (executor OOM at web scale). The reference amortizes its full
+per-vertex sets one copy per machine (vid_vector,
+directed_triangle_count.cpp:560-606); a shuffle join cannot, so the
+wedge shape is the plan that survives 100x. The degree-ordered
 orientation trick of the undirected counter cannot apply because all
 four direction classes are needed.
 """
@@ -37,50 +45,51 @@ from ..graph import Graph
 def directed_triangle_counts(graph: Graph) -> DataFrame:
     """(id, in_triangles, out_triangles, through_triangles,
     cycle_triangles) for every vertex."""
-    P = graph.num_partitions
     e = graph.edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = e.alias("a"), e.alias("b")
 
-    outs = e.groupBy(F.col("src").alias("id")).agg(
-        F.collect_set("dst").alias("out_set")
-    )
-    ins = e.groupBy(F.col("dst").alias("id")).agg(
-        F.collect_set("src").alias("in_set")
-    )
-    sets = (
-        graph.vertices.select("id")
-        .join(outs, "id", "left")
-        .join(ins, "id", "left")
-        .select(
-            "id",
-            F.coalesce("out_set", F.array().cast("array<long>")).alias("out_set"),
-            F.coalesce("in_set", F.array().cast("array<long>")).alias("in_set"),
+    def wedge(join_cond, u_col, w2_col, self_pair_cond, name):
+        """COUNT of wedges per ordered endpoint pair (u, w2)."""
+        return (
+            a.join(b, join_cond)
+            .filter(self_pair_cond)  # (u,u) pairs can never match an edge
+            .groupBy(u_col.alias("u"), w2_col.alias("w2"))
+            .agg(F.count(F.lit(1)).alias(name))
         )
-        .repartition(P, "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # s_s(u,v)   = |out(u) ∩ out(v)|: wedges u->x<-v (shared dst)
+    s_s = wedge(
+        F.col("a.dst") == F.col("b.dst"),
+        F.col("a.src"), F.col("b.src"),
+        F.col("a.src") != F.col("b.src"), "s_s",
+    )
+    # st_st(u,v) = |in(u) ∩ in(v)|: wedges u<-x->v (shared src)
+    st_st = wedge(
+        F.col("a.src") == F.col("b.src"),
+        F.col("a.dst"), F.col("b.dst"),
+        F.col("a.dst") != F.col("b.dst"), "st_st",
+    )
+    # st_s(u,v)  = |in(u) ∩ out(v)|: wedges u<-x<-v (path v->x->u)
+    st_s = wedge(
+        F.col("a.src") == F.col("b.dst"),
+        F.col("a.dst"), F.col("b.src"),
+        F.col("a.dst") != F.col("b.src"), "st_s",
     )
 
-    u = sets.select(
-        F.col("id").alias("src"),
-        F.col("out_set").alias("u_out"),
-        F.col("in_set").alias("u_in"),
-    )
-    v = sets.select(
-        F.col("id").alias("dst"),
-        F.col("out_set").alias("v_out"),
-        F.col("in_set").alias("v_in"),
-    )
-    per_edge = (
-        e.join(u.hint("shuffle_hash"), "src")
-        .join(v.hint("shuffle_hash"), "dst")
-        .select(
-            "src",
-            "dst",
-            F.size(F.array_intersect("u_out", "v_out")).alias("s_s"),
-            F.size(F.array_intersect("u_in", "v_in")).alias("st_st"),
-            F.size(F.array_intersect("u_in", "v_out")).alias("st_s"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    def lookup(base, counts, name):
+        return base.join(
+            counts,
+            (base.src == counts.u) & (base.dst == counts.w2),
+            "left",
+        ).drop("u", "w2")
+
+    per_edge = lookup(lookup(lookup(e, s_s, "s_s"), st_st, "st_st"),
+                      st_s, "st_s").select(
+        "src", "dst",
+        F.coalesce("s_s", F.lit(0)).alias("s_s"),
+        F.coalesce("st_st", F.lit(0)).alias("st_st"),
+        F.coalesce("st_s", F.lit(0)).alias("st_s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     from_out = per_edge.groupBy(F.col("src").alias("id")).agg(
         F.sum("s_s").alias("out_triangles"),

@@ -85,3 +85,57 @@ def graph_laplacian(
     else:
         raise ValueError(mode)
     return off.unionByName(diag)
+
+
+def write_spectral_inputs(
+    graph: Graph,
+    prefix: str,
+    mode: str = "normalized_cut",
+    weight_col: str | None = None,
+    diag_base: float = 5.0,
+) -> dict:
+    """Solver-input prep for the spectral partitioning workflow —
+    the file contract of /root/reference/toolkits/graph_analytics/
+    partitioning.cpp (which shells graph_laplacian -> svd -> kmeans):
+
+    - ``<prefix>.glap/``    space-separated COO text rows ``i j value``
+      of the Laplacian (graph_laplacian.cpp writers :182-227), written
+      distributed (one part file per partition — the reference's
+      save(K files) shape, concatenable downstream).
+    - ``<prefix>.datanum``  single integer: vertex count
+      (graph_laplacian.cpp:310-317).
+    - ``<prefix>.init``     Lanczos initial vector, line i =
+      0.1*((i+1)%10)/10.0 for i in 0..n (partitioning.cpp:82-88,
+      num_data+1 rows). Inherently a single ordered file (the solver
+      reads it positionally), so it is written single-partition —
+      |V|+1 doubles, the same driver-side cost the reference pays.
+
+    All paths go through the Hadoop FileSystem API (hdfs/s3a-safe).
+    Returns {"glap": ..., "datanum": ..., "init": ..., "num_data": n}.
+    """
+    from ..checkpoint import _Fs
+
+    spark = graph.edges.sparkSession
+    coo = graph_laplacian(graph, weight_col=weight_col, mode=mode,
+                          diag_base=diag_base)
+    glap = f"{prefix}.glap"
+    (
+        coo.select(
+            F.concat_ws(" ", F.col("i").cast("string"),
+                        F.col("j").cast("string"),
+                        F.col("value").cast("string")).alias("line")
+        )
+        .write.mode("overwrite").text(glap)
+    )
+    n = graph.num_vertices()
+    fs = _Fs(spark, prefix)
+    fs.write_text(f"{prefix}.datanum", str(n))
+    (
+        spark.range(0, n + 1)
+        .selectExpr("CAST(0.1 * ((id + 1) % 10) / 10.0 AS DOUBLE) AS v")
+        .selectExpr("CAST(v AS STRING) AS line")
+        .coalesce(1)
+        .write.mode("overwrite").text(f"{prefix}.init")
+    )
+    return {"glap": glap, "datanum": f"{prefix}.datanum",
+            "init": f"{prefix}.init", "num_data": n}

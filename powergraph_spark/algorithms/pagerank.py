@@ -76,6 +76,13 @@ def pagerank(
     to the unchained run at the same round count. GASResult.supersteps
     counts CHAINS; multiply by chain_depth for rounds.
     """
+    if chain_depth > 1 and mode != "dataframe":
+        # the fused k-round step exists only for the dataframe plan;
+        # silently dividing max_iterations by chain_depth here would
+        # run a quarter of the requested rounds.
+        raise ValueError(
+            f"chain_depth={chain_depth} requires mode='dataframe' (got {mode!r})"
+        )
     spark = graph.edges.sparkSession
     P = graph.num_partitions
 

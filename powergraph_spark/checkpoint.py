@@ -87,24 +87,23 @@ class _Fs:
         finally:
             stream.close()
 
-    def append_line(self, s: str, line: str) -> None:
-        """Append a line; falls back to read+rewrite where the
-        filesystem doesn't support append (e.g. local checksum FS,
-        object stores)."""
+    def append_line(self, s: str, line: str) -> bool:
+        """Append a line where the filesystem supports it (HDFS).
+        Returns False instead of falling back on append-less
+        filesystems (local checksum FS, object stores) — a per-line
+        whole-file rewrite there would be O(n^2) over a long run and a
+        crash mid-rewrite truncates the entire history; callers route
+        to one-file-per-record instead."""
         p = self._Path(s)
-        if self.fs.exists(p):
+        try:
+            out = self.fs.append(p) if self.fs.exists(p) else self.fs.create(p, False)
             try:
-                out = self.fs.append(p)
-                try:
-                    out.write(bytearray((line + "\n").encode("utf-8")))
-                finally:
-                    out.close()
-                return
-            except Exception:
-                old = self.read_text(s)
-                self.write_text(s, old + line + "\n")
-                return
-        self.write_text(s, line + "\n")
+                out.write(bytearray((line + "\n").encode("utf-8")))
+            finally:
+                out.close()
+            return True
+        except Exception:
+            return False
 
     def listdir(self, s: str) -> list[str]:
         if not self.exists(s):
@@ -154,12 +153,46 @@ class CheckpointStore:
         self._fs.write_text(f"{tmp}/_MANIFEST.json", json.dumps(manifest))
         if self._fs.exists(d):
             self._fs.delete(d)
-        self._fs.rename(tmp, d)  # atomic commit (rename on HDFS/local)
-        self._fs.append_line(f"{self.root}/metrics.jsonl", metrics.to_json())
+        # atomic commit: Hadoop FileSystem.rename signals failure by
+        # RETURN VALUE (dest-exists races, object-store quirks), not by
+        # raising — proceeding would append metrics for a snapshot that
+        # was never committed and a later resume would silently restart
+        # from an older superstep.
+        if not self._fs.rename(tmp, d):
+            raise IOError(
+                f"checkpoint commit failed: rename {tmp} -> {d} returned false"
+            )
+        self._log_metrics(superstep, metrics.to_json())
         # drop any cached scan of this path (a prior run may have
         # persisted a DataFrame over the old files)
         self.spark.catalog.refreshByPath(d)
         return self.spark.read.parquet(d)
+
+    def _log_metrics(self, superstep: int, line: str) -> None:
+        """Metrics stream: true appends to metrics.jsonl where the FS
+        supports them (HDFS); elsewhere one atomic file per superstep
+        under metrics/ — O(1) per commit, crash loses at most the
+        in-flight record. `metrics_log()` merges both layouts."""
+        if not self._fs.append_line(f"{self.root}/metrics.jsonl", line):
+            self._fs.mkdirs(f"{self.root}/metrics")
+            self._fs.write_text(
+                f"{self.root}/metrics/{superstep:06d}.json", line + "\n"
+            )
+
+    def metrics_log(self) -> list[dict]:
+        """All committed metrics records, ordered by superstep."""
+        out = []
+        jl = f"{self.root}/metrics.jsonl"
+        if self._fs.exists(jl):
+            for ln in self._fs.read_text(jl).splitlines():
+                if ln.strip():
+                    out.append(json.loads(ln))
+        for name in sorted(self._fs.listdir(f"{self.root}/metrics")):
+            if name.endswith(".json"):
+                out.append(
+                    json.loads(self._fs.read_text(f"{self.root}/metrics/{name}"))
+                )
+        return sorted(out, key=lambda m: m.get("superstep", -1))
 
     def committed_supersteps(self) -> list[int]:
         out = []

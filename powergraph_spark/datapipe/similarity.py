@@ -204,17 +204,34 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed so the
-    pair join is bucket-local. (id_a, id_b, sim)."""
+    pair join is bucket-local. (id_a, id_b, sim).
+
+    `max_bucket` drops buckets larger than the cap BEFORE the self-join
+    (the boilerplate-embedding hazard: with few planes there are few
+    buckets, and a dense cluster of B vectors in one bucket emits B^2
+    candidate pairs — at corpus scale that is an executor OOM, and
+    oversized buckets are near-useless for dedup anyway). Implemented
+    as a COUNT window over the bucket key, which rides the self-join's
+    own shuffle: zero extra exchanges. Dropped-bucket sizes are
+    observable via `embedding_bucket_histogram`."""
     dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        v = (
+            v.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -223,4 +240,25 @@ def embedding_near_dups(
                 cosine(F.col("a.vec"), F.col("b.vec")).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 5).alias("sim"))
+    )
+
+
+def embedding_bucket_histogram(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(bucket_size, n_buckets) — the skew diagnostic behind
+    embedding_near_dups' max_bucket (mirrors minhash_bucket_histogram)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    return (
+        vectors.select(_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
     )

@@ -75,6 +75,25 @@ class GASResult:
     metrics: list[SuperstepMetrics]
 
 
+def _edge_state_view(graph: Graph, state: DataFrame) -> DataFrame:
+    """Edge rows joined with BOTH endpoints' current vertex state —
+    the map input of the reference's edge aggregators / map_reduce_edges
+    with vertex access (distributed_aggregator.hpp:458). State columns
+    appear twice, prefixed ``src_`` and ``dst_``. Two shuffle-joins of
+    the slim state onto the persisted edge layout — same shape as one
+    scatter, partial-agg'd by the caller's agg columns."""
+    src_side = state.select(
+        *[state[c].alias(f"src_{c}") for c in state.columns]
+    )
+    dst_side = state.select(
+        *[state[c].alias(f"dst_{c}") for c in state.columns]
+    )
+    e = graph.edges
+    return e.join(src_side, e.src == src_side.src_id).join(
+        dst_side, e.dst == dst_side.dst_id
+    )
+
+
 def run_gas(
     graph: Graph,
     init_state: DataFrame,
@@ -89,6 +108,7 @@ def run_gas(
     checkpoint_interval: int = 1,
     check_interval: int = 1,
     aggregators: dict[str, list] | None = None,
+    edge_aggregators: dict[str, list] | None = None,
     plan_hook: Callable[[DataFrame, int], None] | None = None,
     resume: bool = False,
     verbose: bool = False,
@@ -122,6 +142,15 @@ def run_gas(
         at every termination check ("periodic" == every check_interval
         supersteps — wall-clock periodicity is meaningless in BSP) and
         recorded in the metrics stream.
+    ``edge_aggregators``: {name: [agg Columns]} — the reference's
+        add_edge_aggregator surface (distributed_aggregator.hpp:458):
+        map_reduce over every edge WITH both endpoints' current vertex
+        data. The agg columns see the persisted edge table's columns
+        plus the materialized state's columns prefixed ``src_`` /
+        ``dst_`` (e.g. ``F.sum((F.col("src_component") !=
+        F.col("dst_component")).cast("long"))``). Evaluated at each
+        termination check against the MATERIALIZED state (cheap scans,
+        never re-runs the superstep) and recorded in metrics extras.
     """
     t_start = time.time()
     state = init_state.localCheckpoint(eager=True)
@@ -185,6 +214,11 @@ def run_gas(
             if aggregators:
                 for name, cols in aggregators.items():
                     row = state.agg(*cols).first()
+                    extras[name] = list(row) if len(row) > 1 else row[0]
+            if edge_aggregators:
+                ev = _edge_state_view(graph, state)
+                for name, cols in edge_aggregators.items():
+                    row = ev.agg(*cols).first()
                     extras[name] = list(row) if len(row) > 1 else row[0]
 
             m = SuperstepMetrics(i, n_active, metric, time.time() - t0, extras)

@@ -280,3 +280,26 @@ def test_pagerank_chain_depth_matches_unchained(spark):
     rc = {r["id"]: r["rank"] for r in c.state.collect()}
     rd = {r["id"]: r["rank"] for r in d.state.collect()}
     assert all(abs(rc[k] - rd[k]) < 1e-5 for k in rc)
+
+
+def test_edge_aggregator_metrics_stream(spark):
+    """add_edge_aggregator surface (distributed_aggregator.hpp:458):
+    a per-check map_reduce over edges with BOTH endpoints' state —
+    here the count of component-disagreeing edges during CC, which
+    must hit exactly 0 at the fixpoint."""
+    g = Graph.from_pandas(spark, PL_EDGES, num_partitions=4)
+    res = connected_components(
+        g,
+        edge_aggregators={
+            "cross_edges": [
+                F.sum(
+                    (F.col("src_component") != F.col("dst_component"))
+                    .cast("long")
+                ).alias("cross")
+            ]
+        },
+    )
+    vals = [m.extras["cross_edges"] for m in res.metrics]
+    assert len(vals) == res.supersteps
+    assert vals[-1] == 0           # fixpoint: endpoints agree everywhere
+    assert vals[0] >= vals[-1]     # monotone-ish shrink on this fixture

@@ -25,6 +25,10 @@ def test_checkpoint_commit_and_manifest(spark, tmp_path):
     assert sum(p["rows"] for p in m["lineage"]) == 5  # per-partition lineage
     assert "metrics" in m and m["metrics"]["superstep"] == res.supersteps
     assert os.path.exists(tmp_path / "ck" / "metrics.jsonl")
+    # metrics stream: one record per committed superstep, ordered,
+    # merged across the append-log and per-step-file layouts
+    log = store.metrics_log()
+    assert [m["superstep"] for m in log] == steps
 
 
 def test_resume_reproduces_uninterrupted_run(spark, tmp_path):

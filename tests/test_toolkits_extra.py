@@ -114,6 +114,28 @@ def test_coloring_deterministic(spark):
     assert c1 == c2
 
 
+def test_coloring_ordered_variants_valid_and_fewer_colors(spark):
+    """degree/saturation orders: valid colorings, deterministic across
+    parallelism, and on a power-law graph use no MORE colors than the
+    hash-ordered JP baseline (the quality knob the reference's
+    degree_ordered/saturation_ordered colorers exist for)."""
+    from powergraph_spark.algorithms import count_colors
+
+    edges = powerlaw_edges(300, seed=11)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    n_jp = count_colors(coloring(g, order="jp"))
+    for order in ("degree", "saturation"):
+        colors = coloring(g, order=order)
+        assert count_conflicts(g, colors) == 0, order
+        assert colors.filter(F.col("color").isNull()).count() == 0, order
+        assert count_colors(colors) <= n_jp, order
+        # determinism across partitioning
+        g8 = Graph.from_pandas(spark, edges, num_partitions=8)
+        c1 = sorted(tuple(r) for r in colors.collect())
+        c2 = sorted(tuple(r) for r in coloring(g8, order=order).collect())
+        assert c1 == c2, order
+
+
 # ----------------------------------------------------------- approx diam
 def test_approx_diameter_path_graph(spark):
     # directed path 0->1->...->9: diameter ~9 hops until masks stabilize
@@ -171,3 +193,38 @@ def test_kcore_multiset_reference_semantics(spark):
     # distinct: degree 1 each -> 2-core empty
     dist2 = {r["id"] for r in kcore_vertices(g, 2).collect()}
     assert dist2 == set()
+
+
+def test_write_spectral_inputs_roundtrip(spark, tmp_path):
+    """partitioning.cpp solver-prep contract: .glap COO text matches
+    graph_laplacian exactly; .datanum = |V|; .init has |V|+1 rows of
+    the reference's 0.1*((i+1)%10)/10.0 seed values."""
+    import glob as globmod
+
+    from powergraph_spark.algorithms import graph_laplacian, write_spectral_inputs
+
+    g = Graph.from_pandas(spark, MULTI_EDGES, num_partitions=4)
+    out = write_spectral_inputs(g, str(tmp_path / "spec"), mode="ratio_cut")
+
+    def read_lines(d):
+        lines = []
+        for f in globmod.glob(f"{d}/part-*"):
+            with open(f) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+        return lines
+
+    got = sorted(
+        (int(a), int(b), round(float(c), 9))
+        for a, b, c in (ln.split() for ln in read_lines(out["glap"]))
+    )
+    exp = sorted(
+        (r["i"], r["j"], round(r["value"], 9))
+        for r in graph_laplacian(g, mode="ratio_cut").collect()
+    )
+    assert got == exp
+    with open(out["datanum"]) as fh:
+        assert int(fh.read().strip()) == g.num_vertices() == out["num_data"]
+    init = [float(x) for x in read_lines(out["init"])]
+    assert len(init) == g.num_vertices() + 1
+    for i in range(3):
+        assert math.isclose(init[i], 0.1 * ((i + 1) % 10) / 10.0, abs_tol=1e-12)
