@@ -1,22 +1,33 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partition-aware
-mapInPandas kernels — is real and tested; the codec step is STUBBED
-(this container has no image/audio libraries). Each stub is a
-deterministic fake gated behind `_HAVE_CODECS`; swapping in PIL/
-torchaudio later changes only the inner function, not the Spark plan.
+mapInPandas kernels — is real and tested, and so is the codec step for
+the two formats decodable WITHOUT native media libraries:
+
+- images: binary netpbm (P5 grayscale / P6 RGB) — header + raw bytes,
+  parsed with numpy;
+- audio: RIFF/WAVE PCM — parsed with the stdlib ``wave`` module.
+
+Payloads in other formats (JPEG, MP3, MP4, ...) fall back to a
+deterministic raw-byte view and are labeled ``raw-fallback:<kind>`` in
+the output — swapping in PIL/torchaudio/pyav later changes only
+``decode_image`` / ``decode_audio``, not the Spark plan. Video decode
+has no container-free codec and stays a documented fallback.
+
+``synthesize_media`` emits REAL P5 images and REAL WAV audio, so the
+decode -> feature -> resize pipeline is exercised end to end on
+genuine format bytes at any scale.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-_HAVE_CODECS = False  # no PIL/libav in this container
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -28,9 +39,84 @@ THUMB_SCHEMA = "media_id long, thumb binary, width int, height int"
 FRAME_SCHEMA = "media_id long, frame_index int, frame binary"
 
 
+# ------------------------------------------------------------------ codecs
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """Binary netpbm P5 (8-bit grayscale)."""
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """REAL decode for binary netpbm: P5 -> (h, w) uint8, P6 -> (h, w, 3)
+    uint8. Returns None for other formats (caller falls back)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, whitespace-separated width height maxval, one
+    # whitespace byte, then raw samples (netpbm spec; '#' comments allowed)
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = fields
+    ch = 1 if payload[:2] == b"P5" else 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape((h, w) if ch == 1 else (h, w, 3))
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL decode for RIFF/WAVE PCM: (samples float32 in [-1, 1],
+    sample_rate). Returns None for non-WAV payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    else:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    return samples, rate
+
+
+def _raw_view(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fallback for undecodable payloads: raw bytes tiled
+    to the metadata's geometry."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    size = max(1, width) * max(1, height)
+    return np.resize(arr, size).reshape(max(1, height), max(1, width))
+
+
+# --------------------------------------------------------------- synthesis
+
+
 def synthesize_media(spark, n: int, seed: int = 42, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (binary payloads derived from the
-    id so any parallelism yields the same bytes)."""
+    """Deterministic media table with REAL format bytes: P5 images and
+    16-bit PCM WAV audio (payload derived from the id, so any
+    parallelism yields the same bytes). Video payloads are opaque
+    (no container-free video codec exists)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -39,14 +125,20 @@ def synthesize_media(spark, n: int, seed: int = 42, partitions: int = 8) -> Data
             for i in ids.tolist():
                 kind = ["image", "audio", "video"][i % 3]
                 rng = np.random.RandomState((seed * 1_000_003 + i) % 2**31)
-                payload = rng.bytes(256 + (i % 512))
-                rows.append((
-                    i, kind, payload,
-                    64 + i % 64 if kind != "audio" else 0,
-                    48 + i % 48 if kind != "audio" else 0,
-                    16000 if kind == "audio" else 0,
-                    30 if kind == "video" else (1 if kind == "image" else 0),
-                ))
+                if kind == "image":
+                    w, h = 64 + i % 64, 48 + i % 48
+                    payload = encode_pgm(
+                        rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+                    )
+                    rows.append((i, kind, payload, w, h, 0, 1))
+                elif kind == "audio":
+                    n_samp = 256 + (i % 512)
+                    samples = (rng.randn(n_samp) * 8000).clip(-32768, 32767)
+                    payload = encode_wav_pcm16(samples, 16000)
+                    rows.append((i, kind, payload, 0, 0, 16000, 0))
+                else:
+                    payload = rng.bytes(256 + (i % 512))
+                    rows.append((i, kind, payload, 64 + i % 64, 48 + i % 48, 0, 30))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height",
                 "sample_rate", "n_frames",
@@ -57,25 +149,19 @@ def synthesize_media(spark, n: int, seed: int = 42, partitions: int = 8) -> Data
     )
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: deterministic fake decode. Real impl: PIL.Image.open.
-    raise NotImplementedError if strict codec behavior is required."""
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("real codec path not available")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    size = max(1, width) * max(1, height)
-    return np.resize(arr, size).reshape(max(1, height), max(1, width))
+# ---------------------------------------------------------------- kernels
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Per-item feature vector via mapInPandas (Arrow batches). For
-    images: coarse intensity histogram of the (stub-)decoded pixels;
-    audio/video: byte-level stats. Deterministic."""
+    """Per-item feature vector via mapInPandas (Arrow batches).
+    images: intensity histogram of the DECODED pixels; audio: per-chunk
+    mean |amplitude| of the DECODED waveform; video/undecodable:
+    byte-level stats (note says which path ran). Deterministic."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-ITEM work is the codec call itself (irreducible once real
-        # codecs land); everything around it is numpy over raw column
-        # arrays — no pandas row objects (iterrows) in the loop.
+        # per-ITEM work is the codec call itself (irreducible);
+        # everything around it is numpy over raw column arrays — no
+        # pandas row objects (iterrows) in the loop.
         for b in batches:
             feats, notes = [], []
             for kind, payload, w, h in zip(
@@ -83,17 +169,29 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 b["width"].to_numpy(), b["height"].to_numpy(),
             ):
                 payload = bytes(payload)
+                f = None
                 if kind == "image":
-                    img = _decode_image_stub(payload, w, h)
-                    hist, _ = np.histogram(img, bins=dim, range=(0, 255))
-                    f = (hist / max(1, img.size)).astype(np.float32)
-                    notes.append("stub-decode:image")
-                else:
+                    img = decode_image(payload)
+                    if img is not None:
+                        hist, _ = np.histogram(img, bins=dim, range=(0, 255))
+                        f = (hist / max(1, img.size)).astype(np.float32)
+                        notes.append("decode:netpbm")
+                elif kind == "audio":
+                    dec = decode_audio(payload)
+                    if dec is not None:
+                        samples, _rate = dec
+                        chunks = np.array_split(np.abs(samples), dim)
+                        f = np.array(
+                            [c.mean() if len(c) else 0.0 for c in chunks],
+                            dtype=np.float32,
+                        )
+                        notes.append("decode:wav-pcm")
+                if f is None:
                     arr = np.frombuffer(payload, dtype=np.uint8)
                     chunks = np.array_split(arr.astype(np.float32), dim)
                     f = np.array([c.mean() if len(c) else 0.0 for c in chunks],
                                  dtype=np.float32) / 255.0
-                    notes.append(f"stub-decode:{kind}")
+                    notes.append(f"raw-fallback:{kind}")
                 feats.append(f.tolist())
             yield pd.DataFrame({
                 "media_id": b["media_id"], "kind": b["kind"],
@@ -104,8 +202,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
-    """Thumbnail kernel (stub: nearest-neighbor subsample of the fake
-    pixel grid). Real impl swaps the inner two lines for PIL."""
+    """Thumbnail kernel: nearest-neighbor resample of the DECODED
+    pixels (raw-byte view for undecodable payloads)."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -115,7 +213,11 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
                 b["media_id"].to_numpy(), b["payload"].to_numpy(),
                 b["width"].to_numpy(), b["height"].to_numpy(),
             ):
-                img = _decode_image_stub(bytes(payload), w, h)
+                img = decode_image(bytes(payload))
+                if img is None:
+                    img = _raw_view(bytes(payload), w, h)
+                if img.ndim == 3:  # P6 RGB -> luma for the thumbnail
+                    img = img.mean(axis=2)
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 thumb = img[np.ix_(ys, xs)].astype(np.uint8).tobytes()
@@ -126,8 +228,10 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame sampling for video rows: emit one (stub) frame per
-    every_n frames. Real impl: pyav keyframe iteration."""
+    """Frame sampling for video rows: emit one frame slice per every_n
+    frames (video decode is the one remaining fallback — no
+    container-free codec; a real impl swaps in pyav keyframe
+    iteration here)."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

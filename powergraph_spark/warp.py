@@ -149,3 +149,19 @@ def bond_percolation(
     out = res.state.select("id", "component")
     sub.unpersist()
     return out
+
+
+def warp_coloring(graph: Graph, max_iterations: int = 200) -> DataFrame:
+    """warp_coloring.cpp: greedy min-free-color with the neighborhood
+    color set gathered through warp::map_reduce_neighborhood
+    (unique_color_map/combine at warp_coloring.cpp:104-113, min-free
+    apply at :224-233). The reference resolves synchronous-recoloring
+    conflicts by re-running warp rounds; BSP-side we use the same
+    hash-priority independent-set schedule as the simple colorer —
+    identical capability contract (valid coloring, deterministic), and
+    the per-round neighborhood color gather IS the warp map_reduce
+    (one join + collect_set aggregation per wave). Returns (id, color).
+    """
+    from .algorithms import coloring
+
+    return coloring(graph, max_iterations=max_iterations, order="jp")

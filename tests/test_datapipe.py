@@ -237,7 +237,11 @@ def test_media_plumbing(spark):
     assert len(feats) == 30
     for r in feats:
         assert len(r["feature"]) == 8
-        assert r["note"].startswith("stub-decode:")
+        # image/audio payloads are REAL formats (P5 netpbm / PCM WAV)
+        # and take the real decode path; video has no lib-free codec
+        expected = {"image": "decode:netpbm", "audio": "decode:wav-pcm",
+                    "video": "raw-fallback:video"}[r["kind"]]
+        assert r["note"] == expected, r
 
     thumbs = resize_images(media, out_w=8, out_h=8).collect()
     assert len(thumbs) == 10
@@ -250,3 +254,31 @@ def test_media_plumbing(spark):
     a = sorted(tuple(r) for r in synthesize_media(spark, 20, partitions=1).collect())
     b = sorted(tuple(r) for r in synthesize_media(spark, 20, partitions=5).collect())
     assert a == b
+
+
+def test_codec_roundtrips():
+    """Real codec paths: P5 netpbm and PCM WAV encode->decode are
+    byte/sample-exact (no media libraries involved)."""
+    import numpy as np
+
+    from powergraph_spark.datapipe.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_pgm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    assert (decode_image(encode_pgm(img)) == img).all()
+    # P6 RGB with a header comment
+    rgb = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    p6 = b"P6\n# comment\n5 4\n255\n" + rgb.tobytes()
+    assert (decode_image(p6) == rgb).all()
+    assert decode_image(b"\xff\xd8\xff\xe0 not netpbm") is None
+
+    samples = (rng.randn(300) * 8000).clip(-32768, 32767).astype(np.int16)
+    dec, rate = decode_audio(encode_wav_pcm16(samples, 16000))
+    assert rate == 16000
+    assert np.allclose(dec * 32768.0, samples, atol=0.51)
+    assert decode_audio(b"not a riff") is None
