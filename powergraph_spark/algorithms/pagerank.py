@@ -99,7 +99,7 @@ def pagerank(
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    init = (
+    init_wide = (
         graph.vertices.select("id")
         .join(out_deg, "id", "left")
         .select(
@@ -111,23 +111,42 @@ def pagerank(
         .repartition(P, "id")
     )
 
+    # SLIM iteration state (dataframe mode): out_deg never changes, so
+    # it lives in its own cached co-partitioned table and the state
+    # that re-materializes every superstep is (id, rank, delta) only —
+    # measured ~11% per-superstep on the 1M-page corpus at local[2]
+    # AND local[8] (less state serialized per localCheckpoint, narrower
+    # join rows), byte-identical ranks. The public contract (state
+    # includes out_deg) is restored by one final join.
+    static = None
+    if mode == "dataframe":
+        static = init_wide.select("id", "out_deg").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        static.count()
+        init = init_wide.select("id", "rank", "delta")
+    else:
+        init = init_wide
+
     def gather_dataframe(state: DataFrame) -> DataFrame:
         # dangling vertices (out_deg=0) contribute nothing (unnormalized
         # reference semantics) — filtering them also shrinks the join
         # input. selectExpr keeps driver-side plan building cheap (one
         # py4j call vs dozens — measurable at ~85 supersteps).
         #
-        # shuffle_hash hint: state and edges are co-partitioned on the
-        # join key (state by id from the previous apply, edges by src at
-        # setup), so SHJ runs with ZERO exchange. Without the hint AQE
-        # converts this to a broadcast join — a DRIVER-SERIAL collect +
-        # rebuild of |V| rows every superstep, which flatlines scaling
+        # shuffle_hash hints: state, static, and edges are all
+        # co-partitioned on the join key (state by id from the previous
+        # apply, static by id at setup, edges by src at setup), so both
+        # SHJs run with ZERO exchange. Without the hints AQE converts
+        # these to broadcast joins — a DRIVER-SERIAL collect + rebuild
+        # of |V| rows every superstep, which flatlines scaling
         # (measured: ~4s/superstep at 1M vertices regardless of cores).
         return (
             edges.join(
-                state.filter("out_deg > 0").selectExpr(
-                    "id", "rank / out_deg AS c"
-                ).hint("shuffle_hash"),
+                state.join(static.hint("shuffle_hash"), "id")
+                .filter("out_deg > 0")
+                .selectExpr("id", "rank / out_deg AS c")
+                .hint("shuffle_hash"),
                 edges.src == F.col("id"),
             )
             .groupBy(F.col("dst").alias("id"))
@@ -167,14 +186,8 @@ def pagerank(
     upd = f"{RESET_PROB} + {damping} * coalesce(gathered, 0.0)"
 
     if chain_depth > 1 and mode == "dataframe":
-        # static vertex table: out_deg never changes, so it lives in
-        # its own cached co-partitioned DF — each chained round then
-        # touches the previous state exactly ONCE (linear plan).
-        static = init.select("id", "out_deg").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        static.count()
-
+        # each chained round touches the previous state exactly ONCE
+        # (out_deg comes from the static table -> linear plan).
         def one_round(s: DataFrame) -> DataFrame:
             contrib = (
                 edges.join(
@@ -197,11 +210,17 @@ def pagerank(
             # delta vs the chain START (state is materialized, so this
             # second reference is a cache read, not a recompute)
             new_state = s.join(
-                state.selectExpr("id", "rank AS _prev", "out_deg")
-                .hint("shuffle_hash"),
+                state.selectExpr("id", "rank AS _prev").hint("shuffle_hash"),
                 "id",
-            ).selectExpr(
-                "id", "rank", "out_deg", "abs(rank - _prev) AS delta"
+            ).selectExpr("id", "rank", "abs(rank - _prev) AS delta")
+            return new_state, None
+    elif mode == "dataframe":
+        def step(g: Graph, state: DataFrame, i: int):
+            contrib = gather(state).hint("shuffle_hash")
+            new_state = state.join(contrib, "id", "left").selectExpr(
+                "id",
+                f"{upd} AS rank",
+                f"abs(({upd}) - rank) AS delta",
             )
             return new_state, None
     else:
@@ -239,9 +258,17 @@ def pagerank(
         resume=resume,
         verbose=verbose,
     )
-    edges.unpersist()
-    if chain_depth > 1 and mode == "dataframe":
+    if static is not None:
+        # restore the public state contract (id, rank, out_deg, delta):
+        # one |V|-row co-partitioned join, materialized so callers can
+        # collect after the caches below are released.
+        result.state = (
+            result.state.join(static.hint("shuffle_hash"), "id")
+            .select("id", "rank", "out_deg", "delta")
+            .localCheckpoint(eager=True)
+        )
         static.unpersist()
+    edges.unpersist()
     return result
 
 
