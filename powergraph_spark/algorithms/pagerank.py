@@ -50,6 +50,7 @@ def pagerank(
     check_interval: int = 1,
     mode: str = "dataframe",
     chain_depth: int = 1,
+    plan_hook=None,
     resume: bool = False,
     verbose: bool = False,
 ) -> GASResult:
@@ -101,7 +102,10 @@ def pagerank(
     )
     init_wide = (
         graph.vertices.select("id")
-        .join(out_deg, "id", "left")
+        # shuffle_hash: one-time setup join, but its subtree is part of
+        # the cached static table's plan — keeping it broadcast-free
+        # keeps the whole superstep plan broadcast-free (testable).
+        .join(out_deg.hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             F.lit(1.0).alias("rank"),  # pagerank.cpp:52
@@ -255,6 +259,7 @@ def pagerank(
         checkpoint=checkpoint,
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
+        plan_hook=plan_hook,
         resume=resume,
         verbose=verbose,
     )

@@ -303,3 +303,21 @@ def test_edge_aggregator_metrics_stream(spark):
     assert len(vals) == res.supersteps
     assert vals[-1] == 0           # fixpoint: endpoints agree everywhere
     assert vals[0] >= vals[-1]     # monotone-ish shrink on this fixture
+
+
+def test_pagerank_superstep_plan_no_broadcast_of_state(spark):
+    """Slim-state pagerank keeps the zero-exchange discipline: the
+    static out_deg join, the scatter join, and the contrib apply join
+    are all shuffle-hash over the co-partitioned layout — never a
+    BroadcastExchange of vertex state."""
+    plans: list[str] = []
+
+    def hook(df, step):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+
+    g = build(spark, PL_EDGES)
+    pagerank(g, tol=0.0, max_iterations=3, plan_hook=hook)
+    assert plans, "plan_hook never fired"
+    for p in plans:
+        assert "BroadcastExchange" not in p, p
+        assert "ShuffledHashJoin" in p, p
