@@ -628,6 +628,62 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_K = 4          # word 4-grams: non-trivial overlap at test SFs
+CONTAM_BENCH_IDS = 10  # benchmark set = doc_id < 10
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: corpus docs (doc_id >= 10)
+    sharing word 4-grams with the benchmark set (doc_id < 10); the
+    standard eval-leakage check of a training-data pipeline. Corpus
+    side only streams through a broadcast join — never shuffled by
+    gram."""
+    from powergraph_spark.datapipe import contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < CONTAM_BENCH_IDS)
+    corpus = docs.filter(F.col("doc_id") >= CONTAM_BENCH_IDS)
+    return contamination(corpus, bench, k=CONTAM_K, min_overlap=1).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing text derived from doc_id (the
+    synthetic corpus contains no natural PII; the SAME construction is
+    mirrored in the oracle SQL so redaction is exercised for real)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), d.cast("string"), F.lit("@example.com"),
+            F.lit(" from 10."), (d % 200).cast("string"),
+            F.lit(".0."), ((d * 7) % 250).cast("string"),
+            F.lit(" call +1-555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" id "), F.lpad((d % 900).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((d % 90).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((d % 9000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (email/IPv4/phone/SSN-shaped spans -> typed
+    placeholders) + per-kind match counts; pure JVM regexp chain."""
+    from powergraph_spark.datapipe.text import pii_counts, redact_pii
+
+    docs = _planted_pii(_load(spark, sf_dir, "documents"))
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(c)).alias("redacted_md5"),
+        *pii_counts(c),
+    ).orderBy("doc_id")
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors (the exact
     baseline of the ANN path)."""
@@ -724,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "jaccard": q_jaccard,
         "embedding_dups": q_embedding_dups,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1370,6 +1428,63 @@ per_v AS (
 """
 
 
+def _contamination_sql(k: int, bench_ids: int) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= {k} THEN list_transform(
+        generate_series(1, len(t) - {k - 1}),
+        i -> array_to_string(t[i:i+{k - 1}], ' '))
+    ELSE t END)) AS gram
+  FROM toks
+),
+bg AS (SELECT doc_id AS bench_id, gram FROM sh WHERE doc_id < {bench_ids}),
+bs AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bg GROUP BY bench_id),
+cg AS (SELECT doc_id, gram FROM sh WHERE doc_id >= {bench_ids}),
+hits AS (
+  SELECT cg.doc_id, bg.bench_id, COUNT(*) AS n_shared
+  FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id, bg.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_shared, bs.bench_grams,
+       ROUND(h.n_shared::DOUBLE / bs.bench_grams, 5) AS overlap_frac
+FROM hits h JOIN bs USING (bench_id)
+WHERE h.n_shared >= 1 ORDER BY h.doc_id, h.bench_id
+"""
+
+
+def _pii_redact_sql() -> str:
+    from powergraph_spark.datapipe.text import PII_PATTERNS
+
+    planted = (
+        "text || ' contact doc' || doc_id::VARCHAR || '@example.com'"
+        " || ' from 10.' || (doc_id % 200)::VARCHAR"
+        " || '.0.' || ((doc_id * 7) % 250)::VARCHAR"
+        " || ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')"
+        " || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || ' id ' || lpad((doc_id % 900)::VARCHAR, 3, '0')"
+        " || '-' || lpad((doc_id % 90)::VARCHAR, 2, '0')"
+        " || '-' || lpad((doc_id % 9000)::VARCHAR, 4, '0')"
+    )
+    red = "p"
+    counts = []
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        # same order as redact_pii; DuckDB needs the 'g' flag to match
+        # Spark's replace-all semantics
+        # DuckDB standard string literals take backslashes literally —
+        # only quotes need escaping
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '{repl}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(p, '{esc}'))::BIGINT AS n_{kind}"
+        )
+    return f"""
+WITH planted AS (SELECT doc_id, ({planted}) AS p FROM documents)
+SELECT doc_id, md5({red}) AS redacted_md5, {', '.join(counts)}
+FROM planted ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = _SQL_EDGES
     return {
@@ -1656,6 +1771,8 @@ FROM per_v
         "minhash_candidates": _minhash_sql(32, 16, 3, MINHASH_CAP),
         "jaccard": _jaccard_sql(32, 16, 3, MINHASH_CAP),
         "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD, MINHASH_CAP),
+        "contamination": _contamination_sql(CONTAM_K, CONTAM_BENCH_IDS),
+        "pii_redact": _pii_redact_sql(),
         "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
         "lsh_topk": _lsh_topk_sql(6, 5),
         "ivf_topk": _ivf_sql(16, 4, 5),

@@ -9,6 +9,7 @@ from .dedup import (
     simhash_near_dups,
     word_shingles,
 )
+from .decontam import contamination, decontaminate
 from .multimodal import (
     extract_features,
     resize_images,
@@ -39,4 +40,5 @@ __all__ = [
     "token_count", "bpe_token_count", "quality_score", "lang_id",
     "doc_fingerprint", "text_stats",
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
+    "contamination", "decontaminate",
 ]

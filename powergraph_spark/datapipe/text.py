@@ -135,3 +135,38 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------ PII redaction
+
+# Portable regexes (no lookaround; valid in both Java regex and RE2,
+# so the DuckDB oracle applies the identical patterns):
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}",
+              "<PHONE>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace email / IPv4 / phone / SSN-shaped spans with typed
+    placeholders — the standard pre-training scrub pass. Pure JVM
+    regexp_replace chain (one codegen'd projection; no Python, no
+    shuffle — embarrassingly parallel over 100 TB). Patterns avoid
+    lookaround so an ANSI/RE2 oracle applies them verbatim."""
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One count column per PII kind (diagnostic / audit stream)."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{kind}")
+        for kind, (pat, _r) in PII_PATTERNS.items()
+    ]

@@ -282,3 +282,60 @@ def test_codec_roundtrips():
     assert rate == 16000
     assert np.allclose(dec * 32768.0, samples, atol=0.51)
     assert decode_audio(b"not a riff") is None
+
+
+# ------------------------------------------------------ pii / decontam
+def test_redact_pii_and_counts(spark):
+    from powergraph_spark.datapipe.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org today"),
+        (2, "server 192.168.1.254 and phone +1-555-123-4567"),
+        (3, "ssn 123-45-6789 embedded"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red"),
+            *pii_counts(F.col("text"))
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1
+    assert out[2]["red"] == "server <IP> and phone <PHONE>"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["red"] == "ssn <SSN> embedded"
+    assert out[3]["n_ssn"] == 1
+    assert out[4]["red"] == rows[3][1]
+    assert all(out[4][k] == 0 for k in ("n_email", "n_ipv4", "n_phone", "n_ssn"))
+
+
+def test_contamination_and_decontaminate(spark):
+    from powergraph_spark.datapipe import contamination, decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark question about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full copy of the benchmark sentence (leak)
+            (10, "prefix words the secret benchmark question about spark shuffles here suffix"),
+            # shares exactly one 4-gram
+            (11, "unrelated opening the secret benchmark question closes differently"),
+            (12, "completely disjoint text with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    c = {
+        (r["doc_id"], r["bench_id"]): r.asDict()
+        for r in contamination(corpus, bench, k=4).collect()
+    }
+    assert (12, 0) not in c
+    assert c[(10, 0)]["overlap_frac"] == 1.0  # all 5 bench 4-grams covered
+    assert c[(11, 0)]["n_shared"] == 1
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, bench, k=4, max_overlap_frac=0.5).collect())
+    assert kept == [11, 12]
