@@ -628,6 +628,59 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_WINDOW = "6 hours"
+STREAM_WATERMARK = "1 hour"
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path, oracle-checked: the events table is
+    drained through readStream -> event-time tumbling windows with a
+    late-data watermark -> exactly-once parquet sink (availableNow),
+    and the sink is read back. Both sides keep only windows provably
+    closed by the final watermark (append mode withholds open windows
+    by definition), so the comparison is deterministic."""
+    import shutil
+
+    from powergraph_spark.streaming import (
+        run_stream_to_parquet,
+        windowed_event_counts,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    in_dir = f"/tmp/pg_stream_events_{tag}"
+    os.makedirs(in_dir, exist_ok=True)
+    staged = os.path.join(in_dir, "events.parquet")
+    if not os.path.exists(staged):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
+    out_dir = f"/tmp/pg_stream_out_{tag}"
+    ck_dir = f"/tmp/pg_stream_ck_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
+
+    batch = spark.read.parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    run_stream_to_parquet(
+        windowed_event_counts(stream, window=STREAM_WINDOW,
+                              watermark=STREAM_WATERMARK),
+        out_dir, ck_dir,
+    )
+    res = spark.read.parquet(out_dir)
+    max_ts = batch.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    return (
+        res.filter(
+            F.col("window_start") + F.expr(f"INTERVAL {STREAM_WINDOW}")
+            <= F.lit(max_ts) - F.expr(f"INTERVAL {STREAM_WATERMARK}")
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 CONTAM_K = 4          # word 4-grams: non-trivial overlap at test SFs
 CONTAM_BENCH_IDS = 10  # benchmark set = doc_id < 10
 
@@ -782,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "stream_window_counts": q_stream_window_counts,
     }
 
 
@@ -1773,6 +1827,18 @@ FROM per_v
         "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD, MINHASH_CAP),
         "contamination": _contamination_sql(CONTAM_K, CONTAM_BENCH_IDS),
         "pii_redact": _pii_redact_sql(),
+        "stream_window_counts": """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type FROM events
+),
+m AS (SELECT MAX(ts) - INTERVAL '1 hour' AS wm FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*)::BIGINT AS n_events
+FROM e, m
+WHERE ws + INTERVAL '6 hours' <= wm
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+""",
         "approx_diameter": _diameter_sql(DIAM_R, DIAM_MAX_HOPS, DIAM_TOL),
         "lsh_topk": _lsh_topk_sql(6, 5),
         "ivf_topk": _ivf_sql(16, 4, 5),

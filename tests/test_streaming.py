@@ -1,0 +1,132 @@
+"""Structured Streaming surface: streaming results must match the
+batch run of the SAME declarative transformations (the capability the
+batch-only reference cannot offer; SURVEY §2.4 async row is N/A-BSP)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from powergraph_spark.streaming import (
+    run_stream_to_parquet,
+    sessionize,
+    stream_pages_to_edges,
+    windowed_event_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _stage(src_file: str, dest_dir: str) -> str:
+    os.makedirs(dest_dir, exist_ok=True)
+    shutil.copy(src_file, os.path.join(dest_dir, os.path.basename(src_file)))
+    return dest_dir
+
+
+def test_stream_pages_to_edges_matches_batch(spark, tmp_path):
+    from powergraph_spark.webtext import write_pages_table
+    from powergraph_spark.webtext.extract import link_pairs
+    from powergraph_spark.webtext.ingest import url_id
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_table(spark, pages_dir, n_pages=300, n_sites=8)
+
+    out = str(tmp_path / "edges_out")
+    stream_pages_to_edges(
+        spark, pages_dir, out, str(tmp_path / "ck"), available_now=True
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in spark.read.parquet(out).collect()
+    )
+    pages = spark.read.parquet(pages_dir)
+    exp = sorted(
+        (r["src"], r["dst"])
+        for r in link_pairs(pages)
+        .select(url_id(F.col("src_url")).alias("src"),
+                url_id(F.col("dst_url")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed agg = batch windowed agg for every window the
+    watermark closed (append mode withholds still-open windows — the
+    defined semantics, not a bug)."""
+    events_in = _stage(os.path.join(SF_DIR, "events.parquet"),
+                       str(tmp_path / "ev_in"))
+    batch = spark.read.parquet(events_in)
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_in)
+    out = str(tmp_path / "win_out")
+    run_stream_to_parquet(
+        windowed_event_counts(stream, window="6 hours", watermark="1 hour"),
+        out, str(tmp_path / "ck_win"),
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "stream emitted no closed windows"
+
+    exp_all = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(
+            batch, window="6 hours", watermark="1 hour"
+        ).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    # every emitted window must match batch exactly…
+    for k, v in got.items():
+        assert exp_all[k] == v, k
+    # …and every window provably closed by the final watermark was emitted
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    for (ws, et), v in exp_all.items():
+        if ws + datetime.timedelta(hours=6) <= wm:
+            assert (ws, et) in got, (ws, et)
+
+
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the expression-only batch
+    sessionizer for every session the stream could close (a sentinel
+    event per user far past the gap forces closure in-stream)."""
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    sentinel = events.groupBy("user_id").agg(F.max("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(max_ts + datetime.timedelta(days=365)).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    full = events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinel)
+    staged = str(tmp_path / "sess_in")
+    full.coalesce(1).write.parquet(staged)
+
+    stream = spark.readStream.schema(full.schema).parquet(staged)
+    out = str(tmp_path / "sess_out")
+    run_stream_to_parquet(
+        sessionize(stream, gap_minutes=240.0), out, str(tmp_path / "ck_sess")
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert got, "no sessions emitted"
+
+    exp = sorted(
+        tuple(r)
+        for r in sessionize(events, gap_minutes=240.0).collect()
+    )
+    # the stream closes exactly the non-sentinel sessions
+    assert got == exp
