@@ -337,30 +337,35 @@ def pagerank_delta(
         .repartition(P, "id")
     )
 
-    def step(g: Graph, state: DataFrame, i: int):
-        frontier = state.filter("changed AND out_deg > 0").selectExpr(
-            "id", "rank / out_deg - sent AS d"
-        )
-        msgs = (
-            edges.join(frontier.hint("shuffle_hash"), edges.src == F.col("id"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("d").alias("din"))
-        )
-        new_state = state.join(msgs.hint("shuffle_hash"), "id", "left").selectExpr(
-            "id",
-            f"{RESET_PROB} + {damping} * (acc + coalesce(din, 0.0)) AS rank",
-            "out_deg",
-            "acc + coalesce(din, 0.0) AS acc",
+    # additive instantiation of the ENGINE-level gather-cache factory
+    # (gas.make_delta_step): acc is the cached gather, the emission is
+    # the increment since last send, receivers fold deltas with SUM.
+    from ..gas import make_delta_step
+
+    base_step = make_delta_step(
+        edges,
+        frontier_pred="changed AND out_deg > 0",
+        emit_expr="rank / out_deg - sent",
+        monoid="sum",
+        merge_exprs={
+            "rank": f"{RESET_PROB} + {damping} * (acc + coalesce(din, 0.0))",
+            "out_deg": "out_deg",
+            "acc": "acc + coalesce(din, 0.0)",
             # emission updates `sent` for this step's frontier
-            "CASE WHEN changed AND out_deg > 0 THEN rank / out_deg "
-            "ELSE sent END AS sent",
+            "sent": "CASE WHEN changed AND out_deg > 0 THEN rank / out_deg "
+                    "ELSE sent END",
             # re-signal on cumulative un-sent change (gather-cache
             # safe accumulation), dangling vertices never signal
-            "CASE WHEN out_deg > 0 THEN "
-            f"abs(({RESET_PROB} + {damping} * (acc + coalesce(din, 0.0))) "
-            "- (CASE WHEN changed THEN rank / out_deg ELSE sent END) * out_deg)"
-            f" > {tol} ELSE false END AS changed",
-        )
+            "changed": "CASE WHEN out_deg > 0 THEN "
+                       f"abs(({RESET_PROB} + {damping} * "
+                       "(acc + coalesce(din, 0.0))) "
+                       "- (CASE WHEN changed THEN rank / out_deg ELSE sent "
+                       f"END) * out_deg) > {tol} ELSE false END",
+        },
+    )
+
+    def step(g: Graph, state: DataFrame, i: int):
+        new_state, _ = base_step(g, state, i)
         return new_state, lambda df: df.filter("changed").select("id")
 
     result = run_gas(

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore
 from .graph import Graph
@@ -73,6 +74,71 @@ class GASResult:
     converged: bool
     termination: str  # TASK_DEPLETION | MAX_ITERATIONS | TIMEOUT
     metrics: list[SuperstepMetrics]
+
+
+def make_delta_step(
+    edges: DataFrame,
+    *,
+    frontier_pred: str,
+    emit_expr: str,
+    merge_exprs: dict[str, str],
+    monoid: str = "sum",
+    hint: str = "shuffle_hash",
+):
+    """ENGINE-LEVEL gather cache / delta execution for ANY vertex
+    program — the generalization of the reference's per-vertex gather
+    cache + post_delta path (synchronous_engine.hpp:1589-1643 caches
+    the gather; ivertex_program.hpp post_delta folds increments into a
+    neighbor's cache) as a declarative factory:
+
+      frontier_pred  SQL predicate over state: who emits this superstep
+      emit_expr      SQL expr over an emitting vertex's state: the
+                     message value ``d`` (for additive caches, the
+                     INCREMENT since last emission; for monotone
+                     monoids, the value itself)
+      monoid         'sum' | 'min' | 'max' — the += merge. Cached/delta
+                     execution is sound exactly for abelian + and for
+                     monotone monoids, the same families the reference
+                     supports (commutative += over IS_POD gathers).
+      merge_exprs    {col: SQL expr} building the new state row from
+                     the old columns plus ``din`` (the folded incoming
+                     message, NULL when none) — the apply + scatter
+                     re-signal logic. Must produce every state column
+                     including the next frontier flag.
+
+    Returns a ``step_fn`` for :func:`run_gas`. The constructed plan is
+    the engine's standard zero-exchange superstep: frontier filter
+    (partitioning-preserving) -> shuffle-hash scatter join onto the
+    src-hashed persisted edge table -> partial+final ``monoid`` agg ->
+    shuffle-hash apply join back to state. Only CHANGED vertices emit,
+    so late supersteps touch the shrinking frontier, not |V| — the
+    reference's dynamic/delta scheduling on BSP.
+
+    ``powergraph_spark.algorithms.pagerank_delta`` is the additive
+    instantiation; a min-monoid instantiation (delta CC) is exercised
+    in tests against the dense engine result.
+    """
+    aggs = {"sum": F.sum, "min": F.min, "max": F.max}
+    if monoid not in aggs:
+        raise ValueError(f"monoid must be one of {sorted(aggs)}, got {monoid!r}")
+    agg = aggs[monoid]
+    out_cols = [f"{expr} AS {name}" for name, expr in merge_exprs.items()]
+
+    def step(graph: Graph, state: DataFrame, i: int):
+        frontier = state.filter(frontier_pred).selectExpr(
+            "id", f"{emit_expr} AS d"
+        )
+        msgs = (
+            edges.join(frontier.hint(hint), edges.src == F.col("id"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(agg("d").alias("din"))
+        )
+        new_state = state.join(msgs.hint(hint), "id", "left").selectExpr(
+            "id", *out_cols
+        )
+        return new_state, None
+
+    return step
 
 
 def _edge_state_view(graph: Graph, state: DataFrame) -> DataFrame:

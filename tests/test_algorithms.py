@@ -321,3 +321,43 @@ def test_pagerank_superstep_plan_no_broadcast_of_state(spark):
     for p in plans:
         assert "BroadcastExchange" not in p, p
         assert "ShuffledHashJoin" in p, p
+
+
+def test_delta_engine_min_monoid_cc(spark):
+    """make_delta_step generality: the same engine-level delta factory
+    that powers pagerank_delta (additive cache) instantiated with the
+    MIN monoid reproduces dense connected components exactly."""
+    from powergraph_spark.gas import make_delta_step, run_gas
+    from pyspark.storagelevel import StorageLevel
+
+    g = build(spark, PL_EDGES)
+    P = g.num_partitions
+    sym = g.symmetrized_edges().repartition(P, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sym.count()
+    init = g.vertices.selectExpr(
+        "id", "id AS component", "true AS changed"
+    ).repartition(P, "id")
+    step = make_delta_step(
+        sym,
+        frontier_pred="changed",
+        emit_expr="component",
+        monoid="min",
+        merge_exprs={
+            "component": "least(component, coalesce(din, component))",
+            "changed": "least(component, coalesce(din, component)) < component",
+        },
+    )
+    res = run_gas(
+        g, init, step,
+        observe_aggs=lambda: [F.sum(F.col("changed").cast("long")).alias("active")],
+        max_iterations=100,
+    )
+    got = sorted((r["id"], r["component"]) for r in res.state.collect())
+    exp = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(g).state.collect()
+    )
+    assert got == exp
+    sym.unpersist()
