@@ -628,6 +628,54 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_nbr_degree_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp::map_reduce_neighborhood (warp_graph_mapreduce.hpp:62):
+    per vertex, the sum of IN-neighbor total degrees over the directed
+    co-occurrence orientation — one neighborhood map+combine call at
+    every vertex at once."""
+    from powergraph_spark.warp import map_reduce_neighborhood
+
+    g = _co_graph(spark, sf_dir)
+    deg = (
+        g.all_edges_view()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vdata = g.vertices.select("id").join(deg, "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    out = map_reduce_neighborhood(
+        g, vdata, map_fn=None, combine="sum", direction="in",
+        value_col="deg", out_col="nbr_deg_sum",
+    )
+    return out.select(
+        "id", F.coalesce("nbr_deg_sum", F.lit(0)).cast("long")
+        .alias("nbr_deg_sum")
+    ).orderBy("id")
+
+
+SESSION_GAP_MIN = 240.0
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (the batch compile
+    of streaming.sessionize — window/lag expressions, no Python);
+    sessions as (user_id, start, end, n_events, total_value)."""
+    from powergraph_spark.streaming import sessionize
+
+    events = _load(spark, sf_dir, "events")
+    out = sessionize(events, gap_minutes=SESSION_GAP_MIN)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
+
+
 STREAM_WINDOW = "6 hours"
 STREAM_WATERMARK = "1 hour"
 
@@ -836,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "stream_window_counts": q_stream_window_counts,
+        "warp_nbr_degree_sum": q_warp_nbr_degree_sum,
+        "sessions": q_sessions,
     }
 
 
@@ -1827,6 +1877,37 @@ FROM per_v
         "embedding_dups": _embedding_dups_sql(6, EMB_DUP_THRESHOLD, MINHASH_CAP),
         "contamination": _contamination_sql(CONTAM_K, CONTAM_BENCH_IDS),
         "pii_redact": _pii_redact_sql(),
+        "warp_nbr_degree_sum": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+s AS (
+  SELECT e.dst AS id, SUM(COALESCE(d.deg, 0)) AS nbr_deg_sum
+  FROM e JOIN deg d ON d.id = e.src GROUP BY e.dst
+)
+SELECT v.id, COALESCE(s.nbr_deg_sum, 0)::BIGINT AS nbr_deg_sum
+FROM v LEFT JOIN s ON s.id = v.id ORDER BY v.id
+""",
+        "sessions": f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts)
+              > {SESSION_GAP_MIN} * 60.0 THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sid AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS _sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 5) AS total_value
+FROM sid GROUP BY user_id, _sid ORDER BY user_id, session_start
+""",
         "stream_window_counts": """
 WITH e AS (
   SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type FROM events
