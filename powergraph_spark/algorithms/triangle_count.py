@@ -40,6 +40,10 @@ def _oriented(graph: Graph) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        # NOT persisted on purpose: Catalyst's ReusedExchange already
+        # serves the three consumers from one dedup shuffle, and an
+        # explicit cache was MEASURED SLOWER (11.2 vs 8.2 s at sf0.1 —
+        # materializing the cache blocks exchange reuse/pipelining)
     )
     deg = (
         und.select(F.col("a").alias("id"))
