@@ -694,12 +694,20 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_counts,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # content-keyed staging (ADVICE r3): a regenerated dataset with the
+    # same basename gets a fresh staging dir, so a stale copy can never
+    # feed the streaming side while batch/oracle read the new file.
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{st.st_size}_{st.st_mtime_ns}"
+    )
     in_dir = f"/tmp/pg_stream_events_{tag}"
     os.makedirs(in_dir, exist_ok=True)
     staged = os.path.join(in_dir, "events.parquet")
     if not os.path.exists(staged):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
+        shutil.copy(src, staged)
     out_dir = f"/tmp/pg_stream_out_{tag}"
     ck_dir = f"/tmp/pg_stream_ck_{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -179,8 +179,19 @@ def coloring(
 
 def count_colors(colors: DataFrame) -> int:
     """Number of distinct colors used (the quality metric the ordered
-    variants improve)."""
-    return colors.select("color").distinct().count()
+    variants improve). A NULL color (vertex left uncolored because the
+    wave loop hit max_iterations) is NOT a color — counting it would
+    inflate the metric and mask the incomplete coloring, so it raises."""
+    row = colors.agg(
+        F.count_distinct("color").alias("n"),
+        F.sum(F.col("color").isNull().cast("long")).alias("nulls"),
+    ).first()
+    if row["nulls"]:
+        raise ValueError(
+            f"{row['nulls']} vertices are uncolored (NULL color) — "
+            "the coloring did not complete; raise max_iterations"
+        )
+    return int(row["n"])
 
 
 def count_conflicts(graph: Graph, colors: DataFrame) -> int:

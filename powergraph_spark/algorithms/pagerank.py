@@ -247,6 +247,26 @@ def pagerank(
             F.max("delta").alias("metric"),
         ]
 
+    # Resume guard: checkpoints written before the slim-state change
+    # carry out_deg; selecting the mode's exact columns both normalizes
+    # old wide checkpoints (dataframe mode) and fails FAST with a clear
+    # message when the checkpoint can't serve this mode (csr needs
+    # out_deg, which a slim checkpoint doesn't have).
+    state_cols = (
+        ["id", "rank", "delta"] if mode == "dataframe"
+        else ["id", "rank", "out_deg", "delta"]
+    )
+
+    def resume_transform(df: DataFrame) -> DataFrame:
+        missing = [c for c in state_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"resumed checkpoint columns {df.columns} are incompatible "
+                f"with pagerank mode={mode!r}: missing {missing} "
+                "(checkpoint written by a different state layout?)"
+            )
+        return df.select(*state_cols)
+
     # max_iterations is in ROUNDS; run_gas counts chains
     max_chains = -(-max_iterations // chain_depth)
     result = run_gas(
@@ -261,6 +281,7 @@ def pagerank(
         check_interval=check_interval,
         plan_hook=plan_hook,
         resume=resume,
+        resume_transform=resume_transform,
         verbose=verbose,
     )
     if static is not None:

@@ -177,6 +177,7 @@ def run_gas(
     edge_aggregators: dict[str, list] | None = None,
     plan_hook: Callable[[DataFrame, int], None] | None = None,
     resume: bool = False,
+    resume_transform: Callable[[DataFrame], DataFrame] | None = None,
     verbose: bool = False,
 ) -> GASResult:
     """Run the superstep loop to TASK_DEPLETION / max_iterations.
@@ -226,6 +227,12 @@ def run_gas(
         resumed = checkpoint.latest()
         if resumed is not None:
             start_step, state = resumed
+            if resume_transform is not None:
+                # algorithms use this to validate/normalize checkpoints
+                # written by an older state layout (e.g. pagerank's wide
+                # -> slim state change) instead of failing later with an
+                # ambiguous-column AnalysisException mid-superstep.
+                state = resume_transform(state)
             if verbose:
                 print(f"[gas] resumed at superstep {start_step}")
 

@@ -178,7 +178,7 @@ def sessionize(
                          "n_events", "total_value"],
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        rows = pd.concat(list(pdfs)).sort_values(time_col)
         out = []
         if state.exists:
             start, end, n, total = state.get
@@ -186,14 +186,20 @@ def sessionize(
         else:
             start = end = None
             n, total = 0, 0.0
-        for ts, val in zip(rows["ts"], rows["value"]):
+        for ts, val in zip(rows[time_col], rows[value_col]):
             if start is None:
                 start, end, n, total = ts, ts, 1, float(val)
             elif ts - end > gap:
                 out.append([uid, start, end, n, round(total, 5)])
                 start, end, n, total = ts, ts, 1, float(val)
             else:
-                end, n, total = ts, n + 1, total + float(val)
+                # An on-time event from a later microbatch may still sort
+                # BEFORE the stored session bounds (within-batch rows are
+                # sorted, cross-batch arrival is not): the session must only
+                # ever widen, so keep start/end monotone instead of assigning
+                # the incoming ts — matching the fully-sorted batch oracle.
+                start = min(start, ts)
+                end, n, total = max(end, ts), n + 1, total + float(val)
         state.update((start.isoformat(), end.isoformat(), n, total))
         state.setTimeoutTimestamp(
             int((end + gap).timestamp() * 1000)

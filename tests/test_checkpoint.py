@@ -53,6 +53,41 @@ def test_resume_reproduces_uninterrupted_run(spark, tmp_path):
     assert _ranks(resumed.state) == expected
 
 
+def test_resume_from_wide_state_checkpoint(spark, tmp_path):
+    """Checkpoints written by the pre-slim (id, rank, out_deg, delta)
+    state layout must still resume in dataframe mode (normalized via
+    resume_transform), and a slim checkpoint resumed into csr mode —
+    which needs out_deg — must fail with a clear error (ADVICE r3)."""
+    import pytest
+
+    edges = powerlaw_edges(200, seed=7)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    expected = _ranks(pagerank(g, tol=1e-9, max_iterations=12).state)
+
+    # produce a WIDE checkpoint (csr mode keeps out_deg in state)
+    store = CheckpointStore(spark, str(tmp_path / "ck_wide"))
+    pagerank(g, tol=1e-9, max_iterations=12, mode="csr",
+             checkpoint=store, checkpoint_interval=1)
+    store.truncate_after(3)
+    wide_cols = store.latest()[1].columns
+    assert "out_deg" in wide_cols
+    resumed = pagerank(  # dataframe mode resumes the wide checkpoint
+        g, tol=1e-9, max_iterations=12, checkpoint=store,
+        checkpoint_interval=1, resume=True,
+    )
+    assert _ranks(resumed.state) == expected
+
+    # slim checkpoint into csr mode: clear failure, not an ambiguous
+    # AnalysisException inside the superstep
+    store2 = CheckpointStore(spark, str(tmp_path / "ck_slim"))
+    pagerank(g, tol=1e-9, max_iterations=12,
+             checkpoint=store2, checkpoint_interval=1)
+    store2.truncate_after(3)
+    with pytest.raises(ValueError, match="out_deg"):
+        pagerank(g, tol=1e-9, max_iterations=12, mode="csr",
+                 checkpoint=store2, checkpoint_interval=1, resume=True)
+
+
 def test_resume_cc_exact(spark, tmp_path):
     edges = powerlaw_edges(150, seed=9)
     g = Graph.from_pandas(spark, edges, num_partitions=4)

@@ -130,3 +130,65 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     )
     # the stream closes exactly the non-sentinel sessions
     assert got == exp
+
+
+def test_sessionize_multibatch_out_of_order(spark, tmp_path):
+    """An on-time event that arrives in a LATER microbatch but sorts
+    BEFORE the stored session end must not move session_end backward
+    (ADVICE r3): with gap=30min, the 00:38 event is within-gap of the
+    true end 00:10 but would split against a corrupted end of 00:05.
+    Also exercises non-default time/user/value column names."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(minutes, v):
+        return (t0 + datetime.timedelta(minutes=minutes), 1, float(v))
+
+    batches = [
+        [mk(0, 1.0), mk(10, 2.0)],          # establishes end = 00:10
+        [mk(5, 3.0)],                        # out-of-order, on-time
+        [mk(38, 4.0)],                       # 28min from true end: same session
+        [(t0 + datetime.timedelta(days=365), 1, 0.0)],  # sentinel closes all
+    ]
+    in_dir = tmp_path / "ooo_in"
+    in_dir.mkdir()
+    schema = "t timestamp, uid long, v double"
+    import time
+
+    base = time.time()
+    for i, rows in enumerate(batches):
+        d = in_dir / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        # FileStreamSource orders new files by mtime: make it strict so
+        # maxFilesPerTrigger=1 replays the batches in the intended order
+        for f in d.iterdir():
+            os.utime(f, (base + 60 * i, base + 60 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = str(tmp_path / "ooo_out")
+    run_stream_to_parquet(
+        sessionize(stream, gap_minutes=30.0, time_col="t",
+                   user_col="uid", value_col="v"),
+        out, str(tmp_path / "ooo_ck"),
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got, "no sessions emitted"
+
+    all_events = spark.createDataFrame(
+        [r for b in batches[:3] for r in b], schema
+    )
+    exp = sorted(
+        tuple(r)
+        for r in sessionize(all_events, gap_minutes=30.0, time_col="t",
+                            user_col="uid", value_col="v").collect()
+    )
+    assert got == exp
+    # the single closed session spans 00:00..00:38 with all four events
+    (sess,) = got
+    assert sess[1] == t0
+    assert sess[2] == t0 + datetime.timedelta(minutes=38)
+    assert sess[3] == 4 and sess[4] == pytest.approx(10.0)
