@@ -163,3 +163,42 @@ def test_directed_census_matches_python(spark, edges):
     tot = directed_triangle_totals(g).first()
     assert tot["in_triangles"] == sum(x[0] for x in exp.values())
     assert tot["cycle_triangles"] == sum(x[3] for x in exp.values())
+
+
+def test_directed_census_hub_path(spark):
+    """The degree-hybrid plan: with a tiny hub cap, hub-centered wedges
+    must be counted by the bucketed array-intersection path and EXCLUDED
+    from the wedge self-joins (asserted via DataFrame.observe row
+    counts, not wall time), while per-vertex results stay exact."""
+    # planted in-hub: 200 spokes -> hub 0, spokes chained so every
+    # direction class has hub-centered triangles; plus a low-degree tail
+    n = 200
+    edges = [(i, 0) for i in range(1, n + 1)]            # spokes -> hub
+    edges += [(i, i + 1) for i in range(1, n, 2)]        # spoke pairs
+    edges += [(0, 1), (0, 5), (300, 301), (301, 302), (300, 302)]
+    g = build(spark, edges)
+
+    exp = _directed_census_py(edges)
+    metrics = {}
+    got_df = directed_triangle_counts(
+        g, hub_degree_cap=50, hub_buckets=4, wedge_metrics=metrics
+    )
+    got = {r["id"]: (r["in_triangles"], r["out_triangles"],
+                     r["through_triangles"], r["cycle_triangles"])
+           for r in got_df.collect()}
+    for v, (i, o, t, c) in exp.items():
+        assert got[v] == (i, o, t, c), (v, got[v], (i, o, t, c))
+
+    # hub 0 has in-degree n+? >> cap: its n^2 s_s wedges (shared dst 0)
+    # must NOT flow through the self-join. Non-hub centers have degree
+    # <= 4 here, so each class's wedge stream stays tiny.
+    assert metrics["s_s"].get["wedge_rows"] < n * n / 4
+    assert metrics["st_st"].get["wedge_rows"] < 5 * len(edges)
+    assert metrics["st_s"].get["wedge_rows"] < 5 * len(edges)
+
+    # differential: hybrid == pure-wedge plan (cap larger than any degree)
+    pure = {r["id"]: (r["in_triangles"], r["out_triangles"],
+                      r["through_triangles"], r["cycle_triangles"])
+            for r in directed_triangle_counts(
+                g, hub_degree_cap=10**9).collect()}
+    assert got == pure
