@@ -221,6 +221,55 @@ def test_ivf_topk_recall(vectors):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_ann_realistic_dim_plan_bounded(spark):
+    """The ANN family at a REAL embedding width (dim 768): hyperplanes/
+    centroids ship as one nested-array literal, so plan analysis stays
+    bounded (the per-element literal form was ~12k expression nodes for
+    LSH and ~50k for IVF — interpreted-codegen fallback plus seconds of
+    driver-side analysis, VERDICT r3). Bucket bits are checked against
+    numpy so the compact encoding is exact, not just fast."""
+    import time
+
+    from powergraph_spark.datapipe.similarity import (
+        _bucket_expr,
+        _hyperplanes,
+    )
+
+    dim, n, n_planes = 768, 60, 8
+    rng = np.random.RandomState(3)
+    base = rng.randn(n, dim).astype(np.float32)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]])
+            for i in range(n)]
+    vecs = spark.createDataFrame(rows).persist()
+    qs = vecs.limit(5)
+
+    t0 = time.time()
+    lsh = lsh_topk(vecs, qs, k=5, n_planes=n_planes)
+    ivf = ivf_topk(vecs, qs, k=5, n_cells=16, nprobe=4)
+    _ = lsh.schema, ivf.schema  # force analysis
+    build_sec = time.time() - t0
+    assert build_sec < 15, f"ANN plan analysis took {build_sec:.1f}s at dim {dim}"
+
+    # candidate sets are sparse at 60 vectors / 256 LSH buckets — the
+    # point here is that both plans EXECUTE, not their recall
+    assert lsh.count() >= 5 and ivf.count() >= 5
+
+    planes = _hyperplanes(dim, n_planes, 42)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in vecs.select(
+            "vec_id", _bucket_expr(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    for i in range(n):
+        exp = sum(
+            1 << j for j in range(n_planes)
+            if float(np.dot(planes[j], base[i].astype(np.float64))) >= 0
+        )
+        assert got[i] == exp, i
+    vecs.unpersist()
+
+
 def test_embedding_near_dups(vectors):
     pairs = {(r["id_a"], r["id_b"]): r["sim"]
              for r in embedding_near_dups(vectors, threshold=0.9).collect()}
