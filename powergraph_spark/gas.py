@@ -160,6 +160,24 @@ def _edge_state_view(graph: Graph, state: DataFrame) -> DataFrame:
     )
 
 
+def _eval_aggregators(df: DataFrame, aggs: dict[str, list] | None) -> dict:
+    """Evaluate every named aggregator in ONE df.agg(...) job, slicing
+    the single result row back out per name (the reference evaluates
+    all registered aggregators in one engine tick too,
+    synchronous_engine.hpp:1414)."""
+    if not aggs:
+        return {}
+    flat, slices, pos = [], [], 0
+    for name, cols in aggs.items():
+        flat.extend(cols)
+        slices.append((name, pos, pos + len(cols)))
+        pos += len(cols)
+    row = list(df.agg(*flat).first())
+    return {
+        name: (row[a:b] if b - a > 1 else row[a]) for name, a, b in slices
+    }
+
+
 def run_gas(
     graph: Graph,
     init_state: DataFrame,
@@ -283,16 +301,14 @@ def run_gas(
             else:
                 n_active, metric = state.count(), float("inf")
 
+            # ONE agg job over state and one over the edge view per
+            # check, regardless of how many named aggregators are
+            # registered (each .first() used to be its own Spark job)
             extras = {}
-            if aggregators:
-                for name, cols in aggregators.items():
-                    row = state.agg(*cols).first()
-                    extras[name] = list(row) if len(row) > 1 else row[0]
+            extras.update(_eval_aggregators(state, aggregators))
             if edge_aggregators:
                 ev = _edge_state_view(graph, state)
-                for name, cols in edge_aggregators.items():
-                    row = ev.agg(*cols).first()
-                    extras[name] = list(row) if len(row) > 1 else row[0]
+                extras.update(_eval_aggregators(ev, edge_aggregators))
 
             m = SuperstepMetrics(i, n_active, metric, time.time() - t0, extras)
             metrics.append(m)

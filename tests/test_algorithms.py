@@ -305,6 +305,47 @@ def test_edge_aggregator_metrics_stream(spark):
     assert vals[0] >= vals[-1]     # monotone-ish shrink on this fixture
 
 
+def test_aggregators_one_job_per_check(spark):
+    """All registered vertex aggregators ride ONE df.agg job per
+    termination check (VERDICT r3 minor): a run with three aggregators
+    must submit exactly as many Spark jobs as a run with one, and
+    multi-column aggregators come back as value lists."""
+    from powergraph_spark.gas import run_gas
+
+    g = Graph.from_pandas(spark, PL_EDGES, num_partitions=4)
+    init = g.vertices.select("id", F.lit(3).alias("x"))
+
+    def step(graph, state, i):
+        ns = state.selectExpr("id", "x - 1 AS x")
+        return ns, lambda df: df.filter("x > 0").select("id")
+
+    def run(aggs, tag):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            res = run_gas(g, init, step, max_iterations=10,
+                          aggregators=aggs)
+        finally:
+            sc.setJobGroup("idle", "idle")
+        n_jobs = len(spark.sparkContext.statusTracker()
+                     .getJobIdsForGroup(tag))
+        return res, n_jobs
+
+    run({"a0": [F.sum("x").alias("s")]}, "agg_warmup")  # graph ingest etc.
+    one, j_one = run({"a0": [F.sum("x").alias("s")]}, "agg_one")
+    three, j_three = run({
+        "a0": [F.sum("x").alias("s")],
+        "a1": [F.sum("x").alias("s1"), F.max("x").alias("m1")],
+        "a2": [F.min("x").alias("mn")],
+    }, "agg_three")
+
+    assert j_three == j_one, (j_three, j_one)
+    for m1, m3 in zip(one.metrics, three.metrics):
+        assert m3.extras["a0"] == m1.extras["a0"]
+        # all vertices decrement in lock-step, so max == min
+        assert m3.extras["a1"] == [m1.extras["a0"], m3.extras["a2"]]
+
+
 def test_pagerank_superstep_plan_no_broadcast_of_state(spark):
     """Slim-state pagerank keeps the zero-exchange discipline: the
     static out_deg join, the scatter join, and the contrib apply join
