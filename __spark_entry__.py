@@ -164,6 +164,39 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank differential, oracle-encoded: converge
+    delta PageRank on 80% of the edges, warm-start on the full graph
+    (pagerank_warm_start seeds the gather cache + signals only
+    perturbed vertices), and compare against a cold run. The contract
+    row is (n_vertices, max_abs_diff) with max_abs_diff ROUNDED 5dp —
+    the oracle pins it to exactly 0.0, so any warm/cold divergence
+    turns this row red. Supersteps/touched-rows claims live in pytest
+    (test_pagerank_warm_start_matches_cold)."""
+    from powergraph_spark.algorithms import pagerank_warm_start
+    from powergraph_spark.algorithms.pagerank import pagerank_delta
+
+    g = _co_graph(spark, sf_dir)
+    full = g.edges.select("src", "dst")
+    old = full.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(10)) < 8)
+    new = full.join(old, ["src", "dst"], "left_anti")
+
+    g1 = Graph.from_edges(old, num_partitions=g.num_partitions)
+    prev = pagerank_delta(g1, tol=1e-8)
+    warm = pagerank_warm_start(g, prev.state, new, tol=1e-8)
+    cold = pagerank_delta(g, tol=1e-8)
+    g1.unpersist()
+    return (
+        warm.state.selectExpr("id", "rank AS rw")
+        .join(cold.state.selectExpr("id", "rank AS rc"), "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.max(F.abs(F.col("rw") - F.col("rc"))), 5)
+            .alias("max_abs_diff"),
+        )
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label CC at convergence (connected_component.cpp:105-113)."""
     g = _co_graph(spark, sf_dir)
@@ -849,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "degree_histogram": q_degree_histogram,
         "pagerank3": q_pagerank3,
+        "pagerank_warm": q_pagerank_warm,
         "connected_components": q_connected_components,
         "cc_sizes": q_cc_sizes,
         "label_propagation2": q_label_propagation2,
@@ -1615,6 +1649,14 @@ WITH {E},
 deg AS (SELECT src AS id FROM und GROUP BY src),
 dc AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src)
 SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
+""",
+        # warm-start == cold differential, encoded in the contract: the
+        # Spark side computes round(max|warm - cold|, 5); the oracle
+        # pins it to 0.0 (both runs stop at unsent-residual <= 1e-8, so
+        # each is within ~6e-8 of the same fixpoint — 5dp must agree)
+        "pagerank_warm": f"""
+WITH {E}
+SELECT COUNT(*) AS n_vertices, 0.0 AS max_abs_diff FROM v
 """,
         "pagerank3": f"""
 WITH {E},

@@ -10,13 +10,14 @@ from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
-from .pagerank import pagerank, pagerank_delta, total_rank
+from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
 from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
     "pagerank",
     "pagerank_delta",
+    "pagerank_warm_start",
     "total_rank",
     "connected_components",
     "component_sizes",

@@ -303,6 +303,36 @@ def total_rank(state: DataFrame) -> float:
     return float(state.agg(F.sum("rank")).first()[0])
 
 
+def _delta_base_step(edges: DataFrame, tol: float, damping: float):
+    """Additive instantiation of the ENGINE-level gather-cache factory
+    (gas.make_delta_step): acc is the cached gather, the emission is
+    the increment since last send, receivers fold deltas with SUM.
+    Shared by pagerank_delta (cold start) and pagerank_warm_start."""
+    from ..gas import make_delta_step
+
+    return make_delta_step(
+        edges,
+        frontier_pred="changed AND out_deg > 0",
+        emit_expr="rank / out_deg - sent",
+        monoid="sum",
+        merge_exprs={
+            "rank": f"{RESET_PROB} + {damping} * (acc + coalesce(din, 0.0))",
+            "out_deg": "out_deg",
+            "acc": "acc + coalesce(din, 0.0)",
+            # emission updates `sent` for this step's frontier
+            "sent": "CASE WHEN changed AND out_deg > 0 THEN rank / out_deg "
+                    "ELSE sent END",
+            # re-signal on cumulative un-sent change (gather-cache
+            # safe accumulation), dangling vertices never signal
+            "changed": "CASE WHEN out_deg > 0 THEN "
+                       f"abs(({RESET_PROB} + {damping} * "
+                       "(acc + coalesce(din, 0.0))) "
+                       "- (CASE WHEN changed THEN rank / out_deg ELSE sent "
+                       f"END) * out_deg) > {tol} ELSE false END",
+        },
+    )
+
+
 def pagerank_delta(
     graph: Graph,
     tol: float = 1e-6,
@@ -358,32 +388,113 @@ def pagerank_delta(
         .repartition(P, "id")
     )
 
-    # additive instantiation of the ENGINE-level gather-cache factory
-    # (gas.make_delta_step): acc is the cached gather, the emission is
-    # the increment since last send, receivers fold deltas with SUM.
-    from ..gas import make_delta_step
+    base_step = _delta_base_step(edges, tol, damping)
 
-    base_step = make_delta_step(
-        edges,
-        frontier_pred="changed AND out_deg > 0",
-        emit_expr="rank / out_deg - sent",
-        monoid="sum",
-        merge_exprs={
-            "rank": f"{RESET_PROB} + {damping} * (acc + coalesce(din, 0.0))",
-            "out_deg": "out_deg",
-            "acc": "acc + coalesce(din, 0.0)",
-            # emission updates `sent` for this step's frontier
-            "sent": "CASE WHEN changed AND out_deg > 0 THEN rank / out_deg "
-                    "ELSE sent END",
-            # re-signal on cumulative un-sent change (gather-cache
-            # safe accumulation), dangling vertices never signal
-            "changed": "CASE WHEN out_deg > 0 THEN "
-                       f"abs(({RESET_PROB} + {damping} * "
-                       "(acc + coalesce(din, 0.0))) "
-                       "- (CASE WHEN changed THEN rank / out_deg ELSE sent "
-                       f"END) * out_deg) > {tol} ELSE false END",
-        },
+    def step(g: Graph, state: DataFrame, i: int):
+        new_state, _ = base_step(g, state, i)
+        return new_state, lambda df: df.filter("changed").select("id")
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            F.sum(F.col("changed").cast("long")).alias("active")
+        ],
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
+        verbose=verbose,
     )
+    edges.unpersist()
+    return result
+
+
+def pagerank_warm_start(
+    graph: Graph,
+    prev_state: DataFrame,
+    new_edges: DataFrame,
+    tol: float = 1e-6,
+    max_iterations: int = 500,
+    damping: float = 0.85,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 1,
+    check_interval: int = 1,
+    verbose: bool = False,
+) -> GASResult:
+    """Incremental PageRank: continue a converged ``pagerank_delta``
+    state after new edges were appended (e.g. by the streaming crawl
+    ingest, streaming.py stream_pages_to_edges) instead of cold-starting
+    on the grown graph. This is the reference's dynamic scheduling
+    (synchronous_engine.hpp:1589-1643, gather cache + post_delta)
+    applied ACROSS runs — the capability a continuously-crawling
+    deployment needs: only vertices touched by the new edges (and the
+    decaying ripple around them) recompute, not |V|.
+
+    Seed construction (the correctness-critical bookkeeping):
+    - ``acc`` must equal the sum of the CURRENT graph's in-neighbors'
+      last emissions. Old edges already delivered ``sent``; for each
+      NEW edge u->v the source's standing emission is folded into v's
+      cache once (the post_delta an edge insertion owes its target).
+    - out-degree changes make a source's standing emission stale
+      (``sent != rank/out_deg'``); the uniform re-signal criterion
+      |rank - sent*out_deg'| > tol catches exactly those sources, new
+      vertices, and corrected targets — unchanged vertices stay idle.
+
+    ``graph`` is the UPDATED graph (all edges); ``prev_state`` the
+    converged delta state (id, rank, out_deg, acc, sent, ...);
+    ``new_edges`` (src, dst) must be the genuinely-new edges (not in
+    the previous graph — anti-join the sink against the old edge table
+    when shards may overlap). Converges to the same fixpoint as a cold
+    run on the updated graph (differential-tested allclose 1e-6) in
+    fewer supersteps and far fewer touched rows.
+    """
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    prev = prev_state.select("id", "acc", "sent")
+    # one-time cache corrections: each new edge u->v owes v the source's
+    # standing emission (sources absent from prev_state are new vertices
+    # with sent=0 — nothing owed)
+    corr = (
+        new_edges.select("src", "dst")
+        .join(prev.selectExpr("id AS src", "sent AS _s"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("_s").alias("corr"))
+    )
+    init = (
+        graph.vertices.select("id")
+        .join(out_deg, "id", "left")
+        .join(prev, "id", "left")
+        .join(corr, "id", "left")
+        .selectExpr(
+            "id",
+            "coalesce(out_deg, 0) AS out_deg",
+            "coalesce(acc, CAST(0.0 AS DOUBLE)) + "
+            "coalesce(corr, CAST(0.0 AS DOUBLE)) AS acc",
+            "coalesce(sent, CAST(0.0 AS DOUBLE)) AS sent",
+        )
+        .selectExpr(
+            "id",
+            f"{RESET_PROB} + {damping} * acc AS rank",
+            "out_deg",
+            "acc",
+            "sent",
+            f"out_deg > 0 AND abs(({RESET_PROB} + {damping} * acc) "
+            f"- sent * out_deg) > {tol} AS changed",
+        )
+        .repartition(P, "id")
+    )
+
+    base_step = _delta_base_step(edges, tol, damping)
 
     def step(g: Graph, state: DataFrame, i: int):
         new_state, _ = base_step(g, state, i)

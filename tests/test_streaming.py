@@ -132,6 +132,71 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_warm_start_pagerank_over_streamed_shard(spark, tmp_path):
+    """The continuous-crawl loop end to end: drain shard 1 through the
+    streaming edge sink, converge delta PageRank, land a second crawl
+    shard, drain ONLY its edges (exactly-once via the stream
+    checkpoint), warm-start from the converged state — ranks must match
+    a cold run on the grown graph (1e-6) with fewer touched rows."""
+    from powergraph_spark.algorithms import pagerank_warm_start
+    from powergraph_spark.algorithms.pagerank import pagerank_delta
+    from powergraph_spark.graph import Graph
+    from powergraph_spark.webtext import write_pages_table
+    from powergraph_spark.webtext.pages import url_of
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_table(spark, pages_dir, n_pages=300, n_sites=8)
+    sink = str(tmp_path / "edge_sink")
+    ck = str(tmp_path / "stream_ck")
+    stream_pages_to_edges(spark, pages_dir, sink, ck, available_now=True)
+
+    g1 = Graph.from_edges(spark.read.parquet(sink), num_partitions=4)
+    prev = pagerank_delta(g1, tol=1e-9)
+
+    # second crawl shard: new urls linking each other + into shard 1
+    def html(hrefs):
+        return ("<html><body>" + "".join(
+            f'<a href="{h}">x</a>' for h in hrefs) + "</body></html>"
+        ).encode()
+
+    import datetime
+
+    t = datetime.datetime(2024, 2, 1)
+    new_urls = [f"https://newsite.example/p{i}" for i in range(6)]
+    shard2 = spark.createDataFrame(
+        [
+            (u, t, html([new_urls[(i + 1) % 6], url_of(i, 8)]),
+             "x", "en")
+            for i, u in enumerate(new_urls)
+        ],
+        spark.read.parquet(pages_dir).schema,
+    )
+    shard2.write.mode("append").parquet(pages_dir)
+    stream_pages_to_edges(spark, pages_dir, sink, ck, available_now=True)
+
+    all_edges = spark.read.parquet(sink).dropDuplicates(["src", "dst"])
+    gfull = Graph.from_edges(all_edges, num_partitions=4)
+    new_edges = all_edges.join(
+        g1.edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    assert 0 < new_edges.count() <= 12
+
+    warm = pagerank_warm_start(gfull, prev.state, new_edges, tol=1e-9)
+    cold = pagerank_delta(gfull, tol=1e-9)
+    rw = {r["id"]: r["rank"] for r in warm.state.collect()}
+    rc = {r["id"]: r["rank"] for r in cold.state.collect()}
+    assert rw.keys() == rc.keys()
+    assert all(abs(rw[k] - rc[k]) < 1e-6 for k in rc)
+    # the shard links into high-rank shard-1 pages, so the perturbation
+    # is O(0.1) and the geometric decay horizon nearly matches a cold
+    # start at tol=1e-9 — superstep parity is expected here (the strong
+    # superstep/locality claims are pinned by the two-cluster unit
+    # test); the robust win is fewer touched rows
+    assert warm.supersteps <= cold.supersteps + 2
+    assert (sum(m.active for m in warm.metrics)
+            < sum(m.active for m in cold.metrics))
+
+
 def test_sessionize_multibatch_out_of_order(spark, tmp_path):
     """An on-time event that arrives in a LATER microbatch but sorts
     BEFORE the stored session end must not move session_end backward
