@@ -164,6 +164,75 @@ def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit bipartite rating matrix from the TPC-H-ish tables:
+    customer x part with mean ordered quantity as the observation."""
+    l = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.avg("l_quantity").alias("rating"))
+    )
+
+
+def q_als_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS on the GAS runtime (als.cpp:296-330), k=1 instantiation —
+    the scalar normal equation w = sum(f*r) / (lambda*n + sum(f^2)) IS
+    SQL-expressible, so the SAME generic kernel that runs k=20 is
+    hash-checked against a DuckDB unroll of 2 full alternations.
+    Portable deterministic init (no hash): ((abs(id) % 97) + 1) / 98."""
+    from powergraph_spark.algorithms.als import als, ratings_graph
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = als(
+        g, k=1, lam=0.1, regnormal=True, tolerance=1e-15,
+        max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f"
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f"
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
+def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 unseen-part recommendations per customer from the k=1 ALS
+    factors — deterministic (score desc, item asc tie-break), so the
+    full recommend path is oracle-checked end to end."""
+    from powergraph_spark.algorithms.als import (
+        als,
+        ratings_graph,
+        recommend_topk,
+    )
+
+    ratings = _ratings(spark, sf_dir)
+    g = ratings_graph(ratings, num_partitions=16)
+    res = als(
+        g, k=1, lam=0.1, regnormal=True, tolerance=1e-15,
+        max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    top = recommend_topk(
+        res.user_factors, res.item_factors, topk=3,
+        exclude=ratings.select("user", "item"),
+    )
+    # cap the checked surface: first 50 users keeps the oracle cross
+    # join tiny at any sf
+    return top.filter(F.col("user") < 50).orderBy("user", "rank")
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank differential, oracle-encoded: converge
     delta PageRank on 80% of the edges, warm-start on the full graph
@@ -883,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "pagerank3": q_pagerank3,
         "pagerank_warm": q_pagerank_warm,
+        "als_k1": q_als_k1,
+        "recommend": q_recommend,
         "connected_components": q_connected_components,
         "cc_sizes": q_cc_sizes,
         "label_propagation2": q_label_propagation2,
@@ -1649,6 +1720,98 @@ WITH {E},
 deg AS (SELECT src AS id FROM und GROUP BY src),
 dc AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src)
 SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
+""",
+        # ALS k=1: two full alternations of the scalar normal equation
+        # w = sum(f*r)/(lambda*n + sum(f^2)), regnormal reg = 0.1*n,
+        # portable init ((abs(id)%97)+1)/98 (item vertex id = -(i+2))
+        "als_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+u1 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i0.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i0.f * i0.f)) AS f
+  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
+),
+i1 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u1.f * u1.f)) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+u2 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i1.f * i1.f)) AS f
+  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
+),
+i2 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u2.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u2.f * u2.f)) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
+ORDER BY kind, id
+""",
+        "recommend": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+u1 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i0.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i0.f * i0.f)) AS f
+  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
+),
+i1 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u1.f * u1.f)) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+u2 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i1.f * i1.f)) AS f
+  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
+),
+i2 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u2.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u2.f * u2.f)) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+),
+scored AS (
+  SELECT u2.id AS "user", i2.id AS item, u2.f * i2.f AS score
+  FROM u2 CROSS JOIN i2
+  WHERE u2.id < 50
+    AND NOT EXISTS (SELECT 1 FROM r WHERE r.u = u2.id AND r.i = i2.id)
+),
+ranked AS (
+  SELECT "user", item, score,
+         ROW_NUMBER() OVER (PARTITION BY "user"
+                            ORDER BY score DESC, item ASC) AS rank
+  FROM scored
+)
+SELECT "user", item, rank, ROUND(score, 5) AS score
+FROM ranked WHERE rank <= 3
+ORDER BY "user", rank
 """,
         # warm-start == cold differential, encoded in the contract: the
         # Spark side computes round(max|warm - cold|, 5); the oracle

@@ -1,3 +1,4 @@
+from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse
 from .approx_diameter import approx_diameter
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
 from .coloring import coloring, count_colors, count_conflicts
@@ -15,6 +16,12 @@ from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
+    "ALSResult",
+    "als",
+    "als_predict",
+    "als_rmse",
+    "ratings_graph",
+    "recommend_topk",
     "pagerank",
     "pagerank_delta",
     "pagerank_warm_start",

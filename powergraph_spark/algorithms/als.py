@@ -1,0 +1,396 @@
+"""Alternating Least Squares matrix factorization on the GAS runtime.
+
+Reference: /root/reference/toolkits/collaborative_filtering/als.cpp
+- bipartite graph: users are source vertices, items are target
+  vertices remapped into a disjoint id space by negation with
+  SAFE_NEG_OFFSET=2 (:49-51, :415 `target_id = -(target_id + 2)`);
+  edges carry (obs rating, role TRAIN/VALIDATE/PREDICT) (:115-139).
+- vertex data: latent factor of NLATENT (:83-108, default 20).
+- gather over TRAIN edges: XtX += f fᵀ, Xy += f*obs of the OTHER
+  endpoint (:178-205, :296-303).
+- apply: add regularization to the diagonal (lambda, or
+  lambda*num_edges when --regnormal, :311-317) and solve
+  (XtX + reg I) w = Xy (:319-321 LDLT); residual = L1 factor change /
+  NLATENT (:323-325).
+- scatter: reschedule neighbors while error*residual > TOLERANCE
+  (:341-355) — on BSP this is the alternating schedule: one side
+  updates per superstep, convergence when residuals stay <= tolerance
+  across a full alternation.
+- error aggregator: train/validation RMSE with predictions clipped to
+  [MINVAL, MAXVAL] (:425-436, :458-486) — mapped onto run_gas
+  edge_aggregators.
+
+Spark mapping (100 TB shape): each half-iteration is ONE scatter join
+(other side's slim factors onto the rating edges, shuffle-hash on the
+co-partitioned layout) followed by a per-vertex normal-equation solve
+inside mapInPandas — rows arrive repartitioned by the updating vertex
+and sorted, so the kernel does segmented numpy reductions
+(np.add.reduceat over the outer-product stack) and ONE batched
+np.linalg.solve per Arrow batch: no per-group Python calls, no k x k
+matrices in shuffle (only (id, factor) rows move). A vertex's ratings
+never split across partitions, so per-vertex sums are deterministic
+and parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..gas import GASResult, run_gas
+from ..graph import Graph
+
+SAFE_NEG_OFFSET = 2  # als.cpp:49-51
+
+
+def item_vid(item: Column) -> Column:
+    """Map an item id into the disjoint vertex-id space
+    (als.cpp:415: target_id = -(target_id + SAFE_NEG_OFFSET))."""
+    return -(item.cast("long") + F.lit(SAFE_NEG_OFFSET))
+
+
+def ratings_graph(
+    ratings: DataFrame,
+    num_partitions: int | None = None,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    role_col: str | None = None,
+) -> Graph:
+    """Bipartite ALS graph: src = user id, dst = negated item id,
+    edge data (rating, role). Vertices implicit from edges."""
+    e = ratings.select(
+        F.col(user_col).cast("long").alias("src"),
+        item_vid(F.col(item_col)).alias("dst"),
+        F.col(rating_col).cast("double").alias("rating"),
+        (F.col(role_col) if role_col is not None else F.lit("train"))
+        .alias("role"),
+    )
+    return Graph.from_edges(e, num_partitions=num_partitions)
+
+
+def _hash_init_expr(k: int) -> str:
+    """Deterministic, parallelism-independent stand-in for the
+    reference's factor.setRandom() (als.cpp:101, uniform [-1,1]):
+    per-(id, j) xxhash64 scaled to [-1, 1)."""
+    return (
+        f"transform(sequence(0, {k - 1}), "
+        "j -> CAST(xxhash64(id, j) AS DOUBLE) / 9.223372036854775808E18)"
+    )
+
+
+def _l1_change(new: Column, old: Column, k: int) -> Column:
+    return F.aggregate(
+        F.zip_with(new, old, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(k))
+
+
+def _solve_side(
+    edges: DataFrame,
+    other_factors: DataFrame,
+    key_col: str,
+    other_col: str,
+    k: int,
+    lam: float,
+    regnormal: bool,
+    P: int,
+) -> DataFrame:
+    """One ALS half-iteration: (id, factor) for every vertex on the
+    updating side that has >= 1 TRAIN rating.
+
+    Plan: scatter join of the other side's (id, factor) onto the TRAIN
+    edges, repartition by the updating vertex, sort within partitions
+    by (id, other_id) so each vertex's rows are contiguous AND in a
+    deterministic order, then the segmented Arrow kernel. The carry
+    across Arrow batches keeps a split segment's partial (XtX, Xy, n)
+    — batches of a partition arrive in order, so this is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    joined = (
+        edges.filter(F.col("role") == "train")
+        .join(
+            other_factors.selectExpr(f"id AS {other_col}", "factor"),
+            other_col,
+        )
+        .select(
+            F.col(key_col).alias("id"),
+            F.col(other_col).alias("oid"),
+            "factor",
+            F.col("rating").alias("y"),
+        )
+        .repartition(P, "id")
+        .sortWithinPartitions("id", "oid")
+    )
+
+    def kern(batches):
+        carry = None  # (id, XtX (k,k), Xy (k,), n)
+
+        def solve(ids, xtx, xy, n):
+            if len(ids) == 0:
+                return None
+            reg = lam * n if regnormal else np.full(len(ids), lam)
+            A = xtx + reg[:, None, None] * np.eye(k)[None, :, :]
+            w = np.linalg.solve(A, xy[..., None])[..., 0]
+            return pd.DataFrame(
+                {"id": ids, "factor": [row for row in w]}
+            )
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["id"].to_numpy()
+            X = np.array(b["factor"].tolist(), dtype=np.float64)
+            y = b["y"].to_numpy(dtype=np.float64)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ids)) + 1)
+            )
+            seg_ids = ids[starts]
+            outer = X[:, :, None] * X[:, None, :]
+            xtx = np.add.reduceat(outer, starts, axis=0)
+            xy = np.add.reduceat(X * y[:, None], starts, axis=0)
+            n = np.diff(np.concatenate((starts, [len(ids)]))).astype(
+                np.float64
+            )
+            if carry is not None:
+                if seg_ids[0] == carry[0]:
+                    xtx[0] += carry[1]
+                    xy[0] += carry[2]
+                    n[0] += carry[3]
+                else:
+                    seg_ids = np.concatenate(([carry[0]], seg_ids))
+                    xtx = np.concatenate(([carry[1]], xtx))
+                    xy = np.concatenate(([carry[2]], xy))
+                    n = np.concatenate(([carry[3]], n))
+            carry = (seg_ids[-1], xtx[-1], xy[-1], n[-1])
+            out = solve(seg_ids[:-1], xtx[:-1], xy[:-1], n[:-1])
+            if out is not None:
+                yield out
+        if carry is not None:
+            yield solve(
+                np.array([carry[0]]), carry[1][None], carry[2][None],
+                np.array([carry[3]]),
+            )
+
+    return joined.mapInPandas(kern, schema="id long, factor array<double>")
+
+
+@dataclass
+class ALSResult:
+    user_factors: DataFrame  # (id, factor) — original user ids
+    item_factors: DataFrame  # (id, factor) — original item ids
+    gas: GASResult
+
+
+def als(
+    graph: Graph,
+    k: int = 10,
+    lam: float = 0.01,
+    regnormal: bool = True,  # als.cpp:445 REGNORMAL default 1
+    tolerance: float = 1e-3,
+    max_iterations: int = 10,
+    init_expr: str | None = None,
+    with_rmse: bool = True,
+    verbose: bool = False,
+) -> ALSResult:
+    """Run ALS on a ratings_graph. ``max_iterations`` counts FULL
+    alternations (user update + item update = 2 supersteps).
+    Terminates early when no vertex moved more than ``tolerance``
+    (L1/k residual) across a full alternation — the BSP form of the
+    reference's priority scheduling (als.cpp:341-355).
+
+    ``init_expr``: SQL expression over ``id`` producing the initial
+    array<double> factor; defaults to the deterministic hash init.
+    ``with_rmse``: record train/validation RMSE numerators per check
+    via run_gas edge_aggregators (als.cpp error_aggregator :458-486).
+    """
+    P = graph.num_partitions
+    edges = graph.edges.select("src", "dst", "rating", "role").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges.count()
+
+    init = graph.vertices.selectExpr(
+        "id",
+        f"({init_expr or _hash_init_expr(k)}) AS factor",
+        "id >= 0 AS is_user",  # items live in the negated id space
+        "CAST(1.0 AS DOUBLE) AS residual",  # als.cpp:96 residual=1
+    ).repartition(P, "id")
+
+    def step(g: Graph, state: DataFrame, i: int):
+        user_turn = i % 2 == 0
+        side, other = ("src", "dst") if user_turn else ("dst", "src")
+        others = state.filter(
+            F.col("is_user") != user_turn
+        ).select("id", "factor")
+        solved = _solve_side(
+            edges, others, side, other, k, lam, regnormal, P
+        )
+        new_state = (
+            state.join(solved.withColumnRenamed("factor", "_nf")
+                       .hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("_nf", F.col("factor")).alias("factor"),
+                "is_user",
+                # updated side: L1 change (0 when no train edges,
+                # als.cpp:310); other side keeps its last residual so
+                # the full-alternation check sees both halves
+                F.when(
+                    F.col("is_user") == user_turn,
+                    F.when(
+                        F.col("_nf").isNotNull(),
+                        _l1_change(F.col("_nf"), F.col("factor"), k),
+                    ).otherwise(F.lit(0.0)),
+                ).otherwise(F.col("residual")).alias("residual"),
+            )
+        )
+        return new_state, None
+
+    edge_aggregators = None
+    if with_rmse:
+        pred = F.aggregate(
+            F.zip_with("src_factor", "dst_factor", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sq = (F.col("rating") - pred) * (F.col("rating") - pred)
+        edge_aggregators = {
+            "train_sse": [
+                F.sum(F.when(F.col("role") == "train", sq)).alias("sse"),
+                F.count(F.when(F.col("role") == "train", 1)).alias("n"),
+            ],
+            "validate_sse": [
+                F.sum(F.when(F.col("role") == "validate", sq)).alias("sse"),
+                F.count(F.when(F.col("role") == "validate", 1)).alias("n"),
+            ],
+        }
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            F.sum((F.col("residual") > tolerance).cast("long"))
+            .alias("active"),
+            F.max("residual").alias("metric"),
+        ],
+        tol=tolerance,
+        max_iterations=2 * max_iterations,
+        check_interval=2,  # only after a FULL alternation
+        edge_aggregators=edge_aggregators,
+        verbose=verbose,
+    )
+    state = result.state
+    users = state.filter("is_user").select("id", "factor")
+    items = state.filter("NOT is_user").select(
+        (-F.col("id") - F.lit(SAFE_NEG_OFFSET)).alias("id"), "factor"
+    )
+    edges.unpersist()
+    return ALSResult(user_factors=users, item_factors=items, gas=result)
+
+
+def predict(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    pairs: DataFrame,
+    minval: float = -1e100,
+    maxval: float = 1e100,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """(user, item, prediction) for requested pairs — dot product
+    clipped to [minval, maxval] (als.cpp extract_l2_error :425-432)."""
+    dot = F.aggregate(
+        F.zip_with("_uf", "_if", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(F.col(user_col).alias("user"),
+                     F.col(item_col).alias("item"))
+        .join(user_factors.selectExpr("id AS user", "factor AS _uf"),
+              "user")
+        .join(item_factors.selectExpr("id AS item", "factor AS _if"),
+              "item")
+        .select(
+            "user", "item",
+            F.least(F.greatest(dot, F.lit(minval)), F.lit(maxval))
+            .alias("prediction"),
+        )
+    )
+
+
+def rmse(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    ratings: DataFrame,
+    minval: float = -1e100,
+    maxval: float = 1e100,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+) -> float:
+    """Train/validation RMSE (als.cpp error_aggregator :458-486)."""
+    p = predict(
+        user_factors, item_factors, ratings, minval, maxval,
+        user_col, item_col,
+    )
+    joined = ratings.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    ).join(p, ["user", "item"])
+    row = joined.agg(
+        F.sum((F.col("rating") - F.col("prediction")) ** 2).alias("sse"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return float((row["sse"] / row["n"]) ** 0.5) if row["n"] else 0.0
+
+
+def recommend_topk(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    topk: int = 10,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """(user, item, rank, score): per-user top-k unseen items by
+    factor dot product. Item factors are broadcast (k-dim rows for the
+    item CATALOG — millions of rows at most, not the rating matrix);
+    ``exclude`` drops already-rated (user, item) pairs. At web scale
+    with huge catalogs, route through datapipe.similarity's ANN
+    bucketing instead of the exact product."""
+    from pyspark.sql import Window
+
+    dot = F.aggregate(
+        F.zip_with("_uf", "_if", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        user_factors.selectExpr("id AS user", "factor AS _uf")
+        .crossJoin(
+            F.broadcast(
+                item_factors.selectExpr("id AS item", "factor AS _if")
+            )
+        )
+        .select("user", "item", dot.alias("score"))
+    )
+    if exclude is not None:
+        scored = scored.join(
+            exclude.select("user", "item"), ["user", "item"], "left_anti"
+        )
+    w = Window.partitionBy("user").orderBy(
+        F.desc("score"), F.asc("item")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("user", "item", F.col("rank").cast("long").alias("rank"),
+                F.round("score", 5).alias("score"))
+    )

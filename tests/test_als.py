@@ -1,0 +1,153 @@
+"""ALS matrix factorization vs an independent numpy oracle
+(reference semantics: toolkits/collaborative_filtering/als.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from powergraph_spark.algorithms.als import (
+    SAFE_NEG_OFFSET,
+    als,
+    predict,
+    ratings_graph,
+    recommend_topk,
+    rmse,
+)
+
+K = 6
+LAM = 0.05
+
+
+def _fixture_ratings(n_users=30, n_items=20, seed=5):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for u in range(n_users):
+        for i in rng.choice(n_items, size=rng.randint(2, 8),
+                            replace=False):
+            role = "validate" if rng.rand() < 0.15 else "train"
+            rows.append((u, int(i), float(rng.randint(1, 6)), role))
+    return rows
+
+
+def _np_als(rows, init_u, init_i, k, lam, iters, regnormal=True):
+    """Independent ALS: Jacobi within a side, alternating sides, the
+    reference's normal equations with reg on the diagonal."""
+    f_u = {u: np.array(v, dtype=np.float64) for u, v in init_u.items()}
+    f_i = {i: np.array(v, dtype=np.float64) for i, v in init_i.items()}
+    train = [(u, i, r) for u, i, r, role in rows if role == "train"]
+
+    def solve_side(keyed, other):
+        out = {}
+        for key, obs in keyed.items():
+            X = np.stack([other[o] for o, _ in obs])
+            y = np.array([r for _, r in obs])
+            reg = lam * len(obs) if regnormal else lam
+            A = X.T @ X + reg * np.eye(k)
+            out[key] = np.linalg.solve(A, X.T @ y)
+        return out
+
+    by_u, by_i = {}, {}
+    for u, i, r in train:
+        by_u.setdefault(u, []).append((i, r))
+        by_i.setdefault(i, []).append((u, r))
+    for _ in range(iters):
+        f_u.update(solve_side({u: o for u, o in by_u.items()}, f_i))
+        f_i.update(solve_side({i: o for i, o in by_i.items()}, f_u))
+    return f_u, f_i
+
+
+@pytest.fixture(scope="module")
+def als_setup(spark):
+    rows = _fixture_ratings()
+    df = spark.createDataFrame(
+        rows, "user long, item long, rating double, role string"
+    )
+    g = ratings_graph(df, num_partitions=4, role_col="role")
+    return rows, df, g
+
+
+def test_als_matches_numpy(spark, als_setup):
+    rows, df, g = als_setup
+    res = als(g, k=K, lam=LAM, regnormal=True, tolerance=1e-12,
+              max_iterations=3)
+    # feed the engine's own deterministic init to the oracle
+    from powergraph_spark.algorithms.als import _hash_init_expr
+
+    init = {
+        r["id"]: r["f"]
+        for r in g.vertices.selectExpr(
+            "id", f"({_hash_init_expr(K)}) AS f"
+        ).collect()
+    }
+    init_u = {i: v for i, v in init.items() if i >= 0}
+    init_i = {-i - SAFE_NEG_OFFSET: v for i, v in init.items() if i < 0}
+    exp_u, exp_i = _np_als(rows, init_u, init_i, K, LAM, iters=3)
+
+    got_u = {r["id"]: np.array(r["factor"])
+             for r in res.user_factors.collect()}
+    got_i = {r["id"]: np.array(r["factor"])
+             for r in res.item_factors.collect()}
+    assert got_u.keys() >= exp_u.keys()
+    for u, w in exp_u.items():
+        assert np.allclose(got_u[u], w, atol=1e-8), u
+    for i, w in exp_i.items():
+        assert np.allclose(got_i[i], w, atol=1e-8), i
+
+
+def test_als_rmse_decreases_and_aggregators(spark, als_setup):
+    rows, df, g = als_setup
+    short = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=1)
+    long = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=5)
+    train = df.filter("role = 'train'")
+    r1 = rmse(short.user_factors, short.item_factors, train)
+    r5 = rmse(long.user_factors, long.item_factors, train)
+    assert r5 <= r1 + 1e-9, (r1, r5)
+    assert r5 < 1.0  # 1..5 ratings, k=6 factors: fits well
+
+    # error_aggregator analog: per-check (sse, n) in the metrics stream
+    m = long.gas.metrics[-1].extras
+    sse, n = m["train_sse"]
+    assert n == train.count()
+    assert abs((sse / n) ** 0.5 - r5) < 1e-6
+    vn = df.filter("role = 'validate'").count()
+    assert m["validate_sse"][1] == vn and vn > 0
+
+
+def test_als_predict_clip_and_topk(spark, als_setup):
+    rows, df, g = als_setup
+    res = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=3)
+    pairs = df.select("user", "item").limit(20)
+    p = predict(res.user_factors, res.item_factors, pairs,
+                minval=1.0, maxval=5.0).collect()
+    assert p and all(1.0 <= r["prediction"] <= 5.0 for r in p)
+
+    top = recommend_topk(res.user_factors, res.item_factors, topk=3,
+                         exclude=df.select("user", "item"))
+    rows_top = top.collect()
+    by_user = {}
+    for r in rows_top:
+        by_user.setdefault(r["user"], []).append(r)
+    rated = {(u, i) for u, i, *_ in rows}
+    for u, rs in by_user.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == list(range(1, len(rs) + 1))
+        assert all((u, r["item"]) not in rated for r in rs)
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_als_parallelism_invariant(spark, als_setup):
+    """Per-vertex normal-equation sums are segment-local (a vertex's
+    ratings never split across partitions), so factors are identical
+    at any partition count."""
+    rows, df, g = als_setup
+    g2 = ratings_graph(df, num_partitions=13, role_col="role")
+    a = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=2)
+    b = als(g2, k=K, lam=LAM, tolerance=1e-12, max_iterations=2)
+    fa = sorted((r["id"], tuple(r["factor"]))
+                for r in a.user_factors.collect())
+    fb = sorted((r["id"], tuple(r["factor"]))
+                for r in b.user_factors.collect())
+    assert fa == fb
