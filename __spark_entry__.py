@@ -233,6 +233,96 @@ def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.filter(F.col("user") < 50).orderBy("user", "rank")
 
 
+KMEANS_K = 4
+KMEANS_ROUNDS = 3
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings table (kmeans.cpp Lloyd loop),
+    deterministic farthest-point init, 3 fixed rounds — per-point
+    cluster assignment and squared distance, hash-checked against a
+    fully unrolled DuckDB oracle."""
+    from powergraph_spark.algorithms import kmeans
+
+    emb = _load(spark, sf_dir, "embeddings")
+    res = kmeans(emb, k=KMEANS_K, fixed_iterations=KMEANS_ROUNDS)
+    return res.assignments.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.round("sqdist", 5).alias("sqdist"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K,
+                       rounds: int = KMEANS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of q_kmeans: same ||v-c||^2 composition
+    (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
+    min-id tie-break, same lowest-cluster-index assignment tie-break,
+    same keep-old-center-on-empty rule."""
+
+    def sq(a, b):
+        return (
+            f"(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+            f" + list_dot_product({b},{b}))"
+        )
+
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] "
+        "AS v FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT 0 AS cluster, v FROM pts "
+        "ORDER BY id LIMIT 1)",
+        f"b0 AS MATERIALIZED (SELECT p.id, p.v, {sq('p.v', 'c.v')} AS d "
+        "FROM pts p, c0 c)",
+    ]
+    for j in range(1, k):
+        parts.append(
+            f"c{j} AS MATERIALIZED (SELECT {j} AS cluster, v FROM b{j-1} "
+            "ORDER BY d DESC, id ASC LIMIT 1)"
+        )
+        if j < k - 1:
+            parts.append(
+                f"b{j} AS MATERIALIZED (SELECT p.id, p.v, "
+                f"LEAST(p.d, {sq('p.v', 'c.v')}) AS d FROM b{j-1} p, c{j} c)"
+            )
+    parts.append(
+        "cen0 AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM c{j}" for j in range(k))
+        + ")"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id, cluster FROM ("
+            f"SELECT p.id, c.cluster, {sq('p.v', 'c.v')} AS d, "
+            "ROW_NUMBER() OVER (PARTITION BY p.id "
+            f"ORDER BY {sq('p.v', 'c.v')} ASC, c.cluster ASC) AS rn "
+            f"FROM pts p CROSS JOIN cen{r-1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT cluster, pos, AVG(val) AS m "
+            f"FROM (SELECT a.cluster, generate_subscripts(p.v, 1) AS pos, "
+            f"unnest(p.v) AS val FROM a{r} a JOIN pts p USING (id)) "
+            "GROUP BY cluster, pos)"
+        )
+        parts.append(
+            f"cen{r} AS MATERIALIZED (SELECT c.cluster, "
+            "COALESCE(u.v, c.v) AS v "
+            f"FROM cen{r-1} c LEFT JOIN (SELECT cluster, "
+            f"list(m ORDER BY pos) AS v FROM u{r} GROUP BY cluster) u "
+            "USING (cluster))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT id AS vec_id, cluster, ROUND(d, 5) AS sqdist FROM (
+  SELECT p.id, c.cluster, {sq('p.v', 'c.v')} AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.id
+                            ORDER BY {sq('p.v', 'c.v')} ASC,
+                                     c.cluster ASC) AS rn
+  FROM pts p CROSS JOIN cen{rounds} c
+) WHERE rn = 1 ORDER BY vec_id
+"""
+    )
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank differential, oracle-encoded: converge
     delta PageRank on 80% of the edges, warm-start on the full graph
@@ -953,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank3": q_pagerank3,
         "pagerank_warm": q_pagerank_warm,
         "als_k1": q_als_k1,
+        "kmeans_clusters": q_kmeans,
         "recommend": q_recommend,
         "connected_components": q_connected_components,
         "cc_sizes": q_cc_sizes,
@@ -1724,6 +1815,7 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # ALS k=1: two full alternations of the scalar normal equation
         # w = sum(f*r)/(lambda*n + sum(f^2)), regnormal reg = 0.1*n,
         # portable init ((abs(id)%97)+1)/98 (item vertex id = -(i+2))
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "als_k1": """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating

@@ -9,6 +9,7 @@ from .directed_triangles import (
 )
 from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
+from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
@@ -21,6 +22,9 @@ __all__ = [
     "als_predict",
     "als_rmse",
     "ratings_graph",
+    "KMeansResult",
+    "kmeans",
+    "cluster_sizes",
     "recommend_topk",
     "pagerank",
     "pagerank_delta",

@@ -52,6 +52,7 @@ def pagerank(
     chain_depth: int = 1,
     plan_hook=None,
     resume: bool = False,
+    audit_shuffle: bool = False,
     verbose: bool = False,
 ) -> GASResult:
     """Returns GASResult whose state is (id, rank, out_deg, delta).
@@ -282,6 +283,7 @@ def pagerank(
         plan_hook=plan_hook,
         resume=resume,
         resume_transform=resume_transform,
+        audit_shuffle=audit_shuffle,
         verbose=verbose,
     )
     if static is not None:

@@ -160,6 +160,18 @@ def _edge_state_view(graph: Graph, state: DataFrame) -> DataFrame:
     )
 
 
+def total_shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes of this application (summed over
+    executors, from the live AppStatusStore). -1 when unavailable."""
+    try:
+        execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+        return sum(
+            execs.apply(i).totalShuffleWrite() for i in range(execs.size())
+        )
+    except Exception:
+        return -1
+
+
 def _eval_aggregators(df: DataFrame, aggs: dict[str, list] | None) -> dict:
     """Evaluate every named aggregator in ONE df.agg(...) job, slicing
     the single result row back out per name (the reference evaluates
@@ -196,6 +208,7 @@ def run_gas(
     plan_hook: Callable[[DataFrame, int], None] | None = None,
     resume: bool = False,
     resume_transform: Callable[[DataFrame], DataFrame] | None = None,
+    audit_shuffle: bool = False,
     verbose: bool = False,
 ) -> GASResult:
     """Run the superstep loop to TASK_DEPLETION / max_iterations.
@@ -258,6 +271,13 @@ def run_gas(
     converged = False
     termination = "MAX_ITERATIONS"
     i = start_step
+    # audit_shuffle: record shuffle-write bytes per check window — the
+    # per-superstep shuffle-volume evidence (state rows only, never the
+    # edge table) that a plan regression would show up in immediately
+    shuffle_base = (
+        total_shuffle_write_bytes(init_state.sparkSession)
+        if audit_shuffle else None
+    )
     while i < max_iterations:
         t0 = time.time()
         new_state, frontier_fn = step_fn(graph, state, i)
@@ -309,6 +329,10 @@ def run_gas(
             if edge_aggregators:
                 ev = _edge_state_view(graph, state)
                 extras.update(_eval_aggregators(ev, edge_aggregators))
+            if shuffle_base is not None:
+                cur = total_shuffle_write_bytes(state.sparkSession)
+                extras["shuffle_write_bytes"] = cur - shuffle_base
+                shuffle_base = cur
 
             m = SuperstepMetrics(i, n_active, metric, time.time() - t0, extras)
             metrics.append(m)

@@ -1,0 +1,78 @@
+"""K-means vs an independent numpy replica of the same deterministic
+algorithm (reference: toolkits/clustering/kmeans.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from powergraph_spark.algorithms import cluster_sizes, kmeans
+
+
+def _np_kmeans(X, ids, k, rounds):
+    """Farthest-point init (ties -> lowest id) + Lloyd, exactly the
+    engine's contract."""
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    centers = [X[0].copy()]  # min-id point
+    for _ in range(k - 1):
+        d = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        centers.append(X[np.argmax(d)].copy())  # argmax, first = min id
+    centers = np.array(centers)
+    for _ in range(rounds):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # ties -> lowest index
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                centers[c] = X[m].mean(axis=0)
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist())), centers
+
+
+def _blobs(n_per=40, k=4, dim=8, seed=11):
+    rng = np.random.RandomState(seed)
+    mus = rng.randn(k, dim) * 8
+    X = np.concatenate(
+        [mus[i] + rng.randn(n_per, dim) for i in range(k)]
+    )
+    ids = np.arange(len(X))
+    return X, ids
+
+
+def test_kmeans_matches_numpy(spark):
+    X, ids = _blobs()
+    df = spark.createDataFrame(
+        [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
+         for i in ids]
+    )
+    res = kmeans(df, k=4, fixed_iterations=5)
+    exp_assign, exp_centers = _np_kmeans(X.astype(np.float64), ids, 4, 5)
+    got = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    assert got == exp_assign
+    assert np.allclose(np.array(res.centers), exp_centers, atol=1e-9)
+    assert res.iterations == 5
+
+    sizes = {r["cluster"]: r["n_points"]
+             for r in cluster_sizes(res).collect()}
+    assert sum(sizes.values()) == len(ids)
+    # well-separated blobs: every planted cluster recovered intact
+    assert sorted(sizes.values()) == [40, 40, 40, 40]
+
+
+def test_kmeans_converges_and_is_parallelism_invariant(spark):
+    X, ids = _blobs(n_per=30, k=3, dim=6, seed=3)
+    rows = [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
+            for i in ids]
+    a = kmeans(spark.createDataFrame(rows).repartition(2), k=3,
+               max_iterations=30)
+    b = kmeans(spark.createDataFrame(rows).repartition(16), k=3,
+               max_iterations=30)
+    assert a.converged and b.converged
+    ga = sorted((r["id"], r["cluster"]) for r in a.assignments.collect())
+    gb = sorted((r["id"], r["cluster"]) for r in b.assignments.collect())
+    assert ga == gb
+    assert np.allclose(np.array(a.centers), np.array(b.centers),
+                       atol=1e-9)
