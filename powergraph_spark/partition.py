@@ -212,6 +212,8 @@ def assign_pid(
         if salt_cap is not None:
             raise ValueError("salt_cap is a grid-strategy option")
         return pds_assign(edges, num_partitions, src, dst)
+    if strategy == "degree":
+        return degree_assign(edges, num_partitions, salt_cap, src, dst)
     if strategy == "random":
         base = random_pid(F.col(src), F.col(dst), num_partitions)
     elif strategy == "grid":
@@ -255,6 +257,62 @@ def assign_pid(
     col = F.pmod(F.xxhash64(F.lit(31), F.col(dst)) + salt_src, F.lit(k))
     pid = F.pmod(row * k + col, F.lit(num_partitions)).cast("int")
     return e.withColumn("pid", pid).drop("_sid", "_odeg", "_did", "_ideg")
+
+
+def degree_assign(
+    edges: DataFrame,
+    num_partitions: int,
+    salt_cap: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Batch 2-pass degree-aware placement — the HDRF/oblivious greedy
+    intent (replicate the HIGHER-degree endpoint,
+    /root/reference/src/graphlab/graph/ingress/ingress_edge_decision.hpp:192-261)
+    as a deterministic batch rule: every edge is homed on its
+    lower-total-degree endpoint's partition (ties: smaller vertex hash),
+    so a low-degree vertex's edges co-locate (replication -> 1 on its
+    home side) while a hub is spread across its neighbors' homes —
+    lower replication factor than grid on power-law graphs (tested).
+
+    Cost model vs grid: grid computes pid in the scan stage for free;
+    this strategy PAYS one degree aggregation plus two |V|-sized joins
+    at ingest (the second pass), exactly once — the same two-pass
+    trade the reference's greedy ingress makes, minus its sequential
+    placement state. ``salt_cap`` still applies: when the chosen home
+    vertex is itself a hub (hub-hub edges), its edge list is spread
+    over ceil(deg/cap) salted partitions so no task owns it whole.
+    """
+    deg = (
+        edges.select(F.col(src).alias("_v"))
+        .unionAll(edges.select(F.col(dst).alias("_v")))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("_v").alias("_va"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_v").alias("_vb"), F.col("_deg").alias("_db"))
+    e = edges.join(da, edges[src] == F.col("_va")).join(
+        db, edges[dst] == F.col("_vb")
+    )
+    s, d = F.col(src), F.col(dst)
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db"))
+        & (F.xxhash64(F.lit(11), s) < F.xxhash64(F.lit(11), d))
+    )
+    home = F.when(a_first, s).otherwise(d)
+    home_deg = F.when(a_first, F.col("_da")).otherwise(F.col("_db"))
+    salt = (
+        F.when(
+            home_deg > salt_cap,
+            F.pmod(F.xxhash64(F.lit(107), s, d),
+                   F.ceil(home_deg / salt_cap)),
+        ).otherwise(F.lit(0))
+        if salt_cap is not None
+        else F.lit(0)
+    )
+    pid = F.pmod(F.xxhash64(F.lit(53), home) + salt,
+                 F.lit(num_partitions)).cast("int")
+    return e.withColumn("pid", pid).drop("_va", "_da", "_vb", "_db")
 
 
 def replication_factor(edges: DataFrame, src: str = "src", dst: str = "dst") -> float:

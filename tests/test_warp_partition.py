@@ -75,6 +75,43 @@ def test_pds_replication_bound(spark):
     assert all(0 <= x < 31 for x in pids)
 
 
+def test_degree_aware_ingress_beats_grid(spark):
+    """The batch 2-pass degree-aware strategy (greedy-HDRF intent:
+    home each edge on its lower-degree endpoint) must achieve a lower
+    replication factor than grid on a power-law graph, stay balanced,
+    and respect the salt cap for hub homes."""
+    edges = powerlaw_edges(2000, seed=5)
+    g_grid = build(spark, edges, num_partitions=16, strategy="grid")
+    g_deg = build(spark, edges, num_partitions=16, strategy="degree")
+    r_grid = replication_factor(g_grid.edges)
+    r_deg = replication_factor(g_deg.edges)
+    assert r_deg < r_grid, (r_deg, r_grid)
+
+    # same edge multiset regardless of strategy
+    assert sorted(
+        (r["src"], r["dst"]) for r in g_deg.edges.collect()
+    ) == sorted((r["src"], r["dst"]) for r in g_grid.edges.collect())
+
+    # balance: no partition owns more than ~6x the mean edge share
+    # (power-law homes are hash-spread; exact uniformity not expected)
+    loads = [r["n"] for r in g_deg.edges.groupBy("pid")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(loads) <= 6 * (sum(loads) / len(loads)), loads
+
+    # salt cap: a hub-home's edges spread over multiple pids
+    g_salt = build(spark, edges, num_partitions=16, strategy="degree",
+                   salt_cap=20)
+    ends = g_salt.edges.select(F.col("src").alias("id"), "pid").unionAll(
+        g_salt.edges.select(F.col("dst").alias("id"), "pid")
+    )
+    deg_tbl = ends.groupBy("id").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.count_distinct("pid").alias("npid"),
+    )
+    hubs = deg_tbl.filter(F.col("deg") > 3 * 20).collect()
+    assert hubs and all(h["npid"] > 1 for h in hubs)
+
+
 def test_pds_rejects_incompatible(spark):
     with pytest.raises(Exception, match="p\\^2\\+p\\+1"):
         build(spark, EDGES, num_partitions=16, strategy="pds")
