@@ -72,6 +72,17 @@ def test_query_matches_oracle(spark, name):
     assert a == b, f"{name}: first mismatches {mism}"
 
 
+def test_oracle_keys_subset_of_queries():
+    """Every oracle_sql key must name a registered query (a stale
+    oracle entry would silently never be checked by the driver)."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, o - q
+    # non-SQL-expressible queries get the weaker rows-only check; keep
+    # the set deliberate and small
+    assert q - o == set(), q - o
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
