@@ -1,4 +1,4 @@
-from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse
+from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse, sgd
 from .approx_diameter import approx_diameter
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
 from .coloring import coloring, count_colors, count_conflicts
@@ -26,6 +26,7 @@ __all__ = [
     "kmeans",
     "cluster_sizes",
     "recommend_topk",
+    "sgd",
     "pagerank",
     "pagerank_delta",
     "pagerank_warm_start",

@@ -296,6 +296,170 @@ def als(
     return ALSResult(user_factors=users, item_factors=items, gas=result)
 
 
+def _array_sum(df: DataFrame, key: str, arr_col: str) -> DataFrame:
+    """(key, grad array<double>, n) — element-wise sum of array rows
+    per key, pure JVM: posexplode -> partial-agg sum per (key, pos) ->
+    reassemble by struct-sorted collect_list. Shuffle volume collapses
+    to P*|keys|*dim partial rows."""
+    return (
+        df.select(F.col(key).alias("id"),
+                  F.posexplode(arr_col).alias("pos", "val"))
+        .groupBy("id", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("grad"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+def sgd(
+    graph: Graph,
+    k: int = 10,
+    gamma: float = 0.01,
+    lam: float = 0.065,  # sgd.cpp defaults: --gamma/--lambda
+    minval: float = -1e100,
+    maxval: float = 1e100,
+    tolerance: float = 1e-6,
+    max_iterations: int = 20,
+    init_expr: str | None = None,
+    with_rmse: bool = True,
+    verbose: bool = False,
+) -> ALSResult:
+    """SGD matrix factorization, BSP-determinized as full-batch
+    gradient descent on the GAS loop.
+
+    Reference per-edge rule (sgd.cpp:252-269): err = obs -
+    clip(u . i); du = gamma*(err*i - lambda*u); di = gamma*(err*u -
+    lambda*i), applied stochastically edge by edge. The BSP contract
+    sums the per-edge gradients over ALL train edges per superstep and
+    applies both sides simultaneously (Jacobi):
+
+        u' = u + gamma * (sum_e err*f_i  -  lambda * n_u * u)
+
+    — deterministic, parallelism-invariant, and order-free where the
+    reference's result depends on edge visit order. One superstep is
+    ONE scatter join (both factor sides onto the rating edges, JVM
+    expressions end to end) plus two element-wise gradient
+    aggregations; nothing but (id, factor) rows shuffle."""
+    P = graph.num_partitions
+    edges = graph.edges.select("src", "dst", "rating", "role").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges.count()
+    init = graph.vertices.selectExpr(
+        "id",
+        f"({init_expr or _hash_init_expr(k)}) AS factor",
+        "id >= 0 AS is_user",
+        "CAST(1.0 AS DOUBLE) AS residual",
+    ).repartition(P, "id")
+
+    # the per-superstep joined-gradient table is persisted (consumed by
+    # BOTH gradient aggregations); each superstep releases the previous
+    # one — its consumer materialized last superstep
+    prev_j: list = [None]
+
+    def step(g: Graph, state: DataFrame, i: int):
+        uf = state.filter("is_user").selectExpr("id AS _u",
+                                                "factor AS ufac")
+        itf = state.filter("NOT is_user").selectExpr("id AS _i",
+                                                     "factor AS ifac")
+        pred = F.aggregate(
+            F.zip_with("ufac", "ifac", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        j = (
+            edges.filter(F.col("role") == "train")
+            .join(uf.hint("shuffle_hash"), F.col("src") == F.col("_u"))
+            .join(itf.hint("shuffle_hash"), F.col("dst") == F.col("_i"))
+            .withColumn(
+                "err",
+                F.col("rating")
+                - F.least(F.greatest(pred, F.lit(minval)), F.lit(maxval)),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if prev_j[0] is not None:
+            prev_j[0].unpersist()
+        prev_j[0] = j
+        gu = _array_sum(
+            j.select(
+                "src",
+                F.transform("ifac", lambda x: x * F.col("err"))
+                .alias("c"),
+            ), "src", "c",
+        )
+        gi = _array_sum(
+            j.select(
+                "dst",
+                F.transform("ufac", lambda x: x * F.col("err"))
+                .alias("c"),
+            ), "dst", "c",
+        )
+        upd = F.when(
+            F.col("grad").isNotNull(),
+            F.zip_with(
+                "factor", "grad",
+                lambda f, g: f + F.lit(gamma)
+                * (g - F.lit(lam) * F.col("n") * f),
+            ),
+        ).otherwise(F.col("factor"))
+        new_state = (
+            state.join(gu.unionAll(gi).hint("shuffle_hash"), "id", "left")
+            .withColumn("_nf", upd)
+            .select(
+                "id",
+                F.col("_nf").alias("factor"),
+                "is_user",
+                _l1_change(F.col("_nf"), F.col("factor"), k)
+                .alias("residual"),
+            )
+        )
+        return new_state, None
+
+    edge_aggregators = None
+    if with_rmse:
+        p2 = F.aggregate(
+            F.zip_with("src_factor", "dst_factor", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        sq = (F.col("rating") - p2) * (F.col("rating") - p2)
+        edge_aggregators = {
+            "train_sse": [
+                F.sum(F.when(F.col("role") == "train", sq)).alias("sse"),
+                F.count(F.when(F.col("role") == "train", 1)).alias("n"),
+            ],
+        }
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            F.sum((F.col("residual") > tolerance).cast("long"))
+            .alias("active"),
+            F.max("residual").alias("metric"),
+        ],
+        tol=tolerance,
+        max_iterations=max_iterations,
+        edge_aggregators=edge_aggregators,
+        verbose=verbose,
+    )
+    state = result.state
+    users = state.filter("is_user").select("id", "factor")
+    items = state.filter("NOT is_user").select(
+        (-F.col("id") - F.lit(SAFE_NEG_OFFSET)).alias("id"), "factor"
+    )
+    if prev_j[0] is not None:
+        prev_j[0].unpersist()
+    edges.unpersist()
+    return ALSResult(user_factors=users, item_factors=items, gas=result)
+
+
 def predict(
     user_factors: DataFrame,
     item_factors: DataFrame,

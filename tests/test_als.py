@@ -138,6 +138,71 @@ def test_als_predict_clip_and_topk(spark, als_setup):
         assert scores == sorted(scores, reverse=True)
 
 
+def _np_sgd(rows, init_u, init_i, k, gamma, lam, iters):
+    """Batch-GD replica of the engine's determinized sgd.cpp rule:
+    gradients from the CURRENT snapshot, both sides applied
+    simultaneously."""
+    f_u = {u: np.array(v, dtype=np.float64) for u, v in init_u.items()}
+    f_i = {i: np.array(v, dtype=np.float64) for i, v in init_i.items()}
+    train = [(u, i, r) for u, i, r, role in rows if role == "train"]
+    for _ in range(iters):
+        gu = {u: np.zeros(k) for u in f_u}
+        gi = {i: np.zeros(k) for i in f_i}
+        nu = {u: 0 for u in f_u}
+        ni = {i: 0 for i in f_i}
+        for u, i, r in train:
+            e = r - float(f_u[u] @ f_i[i])
+            gu[u] += e * f_i[i]
+            nu[u] += 1
+            gi[i] += e * f_u[u]
+            ni[i] += 1
+        f_u = {
+            u: f_u[u] + gamma * (gu[u] - lam * nu[u] * f_u[u])
+            if nu[u] else f_u[u]
+            for u in f_u
+        }
+        f_i = {
+            i: f_i[i] + gamma * (gi[i] - lam * ni[i] * f_i[i])
+            if ni[i] else f_i[i]
+            for i in f_i
+        }
+    return f_u, f_i
+
+
+def test_sgd_matches_numpy(spark, als_setup):
+    from powergraph_spark.algorithms import sgd
+    from powergraph_spark.algorithms.als import _hash_init_expr
+
+    rows, df, g = als_setup
+    res = sgd(g, k=K, gamma=0.02, lam=0.05, tolerance=1e-15,
+              max_iterations=4)
+    init = {
+        r["id"]: r["f"]
+        for r in g.vertices.selectExpr(
+            "id", f"({_hash_init_expr(K)}) AS f"
+        ).collect()
+    }
+    init_u = {i: v for i, v in init.items() if i >= 0}
+    init_i = {-i - SAFE_NEG_OFFSET: v for i, v in init.items() if i < 0}
+    exp_u, exp_i = _np_sgd(rows, init_u, init_i, K, 0.02, 0.05, 4)
+
+    got_u = {r["id"]: np.array(r["factor"])
+             for r in res.user_factors.collect()}
+    got_i = {r["id"]: np.array(r["factor"])
+             for r in res.item_factors.collect()}
+    for u, w in exp_u.items():
+        assert np.allclose(got_u[u], w, atol=1e-9), u
+    for i, w in exp_i.items():
+        assert np.allclose(got_i[i], w, atol=1e-9), i
+
+    # train RMSE decreases with more batch-GD steps
+    longer = sgd(g, k=K, gamma=0.02, lam=0.05, tolerance=1e-15,
+                 max_iterations=12)
+    train = df.filter("role = 'train'")
+    assert rmse(longer.user_factors, longer.item_factors, train) \
+        < rmse(res.user_factors, res.item_factors, train)
+
+
 def test_als_parallelism_invariant(spark, als_setup):
     """Per-vertex normal-equation sums are segment-local (a vertex's
     ratings never split across partitions), so factors are identical
