@@ -206,6 +206,29 @@ def q_als_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind", "id")
 
 
+def q_sgd_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-GD SGD factorization (sgd.cpp rule, BSP-determinized),
+    k=1 instantiation: two full-batch supersteps of the scalar rule
+    u' = u + g*(sum err*i - l*n_u*u) unroll directly to SQL."""
+    from powergraph_spark.algorithms import sgd
+    from powergraph_spark.algorithms.als import ratings_graph
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = sgd(
+        g, k=1, gamma=0.01, lam=0.1, tolerance=1e-15, max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f"
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f"
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
 def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 unseen-part recommendations per customer from the k=1 ALS
     factors — deterministic (score desc, item asc tie-break), so the
@@ -1044,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": q_pagerank_warm,
         "als_k1": q_als_k1,
         "kmeans_clusters": q_kmeans,
+        "sgd_k1": q_sgd_k1,
         "recommend": q_recommend,
         "connected_components": q_connected_components,
         "cc_sizes": q_cc_sizes,
@@ -1816,6 +1840,61 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # w = sum(f*r)/(lambda*n + sum(f^2)), regnormal reg = 0.1*n,
         # portable init ((abs(id)%97)+1)/98 (item vertex id = -(i+2))
         "kmeans_clusters": _kmeans_oracle_sql(),
+        # SGD k=1: two simultaneous batch-GD supersteps of the scalar
+        # rule u' = u + g*(sum err*i - l*n*u), g=0.01 l=0.1, same
+        # portable init as als_k1
+        "sgd_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+u0 AS MATERIALIZED (
+  SELECT u AS id, CAST(u % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT u FROM r)
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+e0 AS MATERIALIZED (
+  SELECT r.u, r.i, (r.rating - u0.f * i0.f) AS err, u0.f AS uf, i0.f AS vf
+  FROM r JOIN u0 ON u0.id = r.u JOIN i0 ON i0.id = r.i
+),
+u1 AS MATERIALIZED (
+  SELECT u AS id, ANY_VALUE(uf)
+         + CAST(0.01 AS DOUBLE) * (SUM(err * vf)
+             - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(uf)) AS f
+  FROM e0 GROUP BY u
+),
+i1 AS MATERIALIZED (
+  SELECT i AS id, ANY_VALUE(vf)
+         + CAST(0.01 AS DOUBLE) * (SUM(err * uf)
+             - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(vf)) AS f
+  FROM e0 GROUP BY i
+),
+e1 AS MATERIALIZED (
+  SELECT r.u, r.i, (r.rating - u1.f * i1.f) AS err, u1.f AS uf, i1.f AS vf
+  FROM r JOIN u1 ON u1.id = r.u JOIN i1 ON i1.id = r.i
+),
+u2 AS MATERIALIZED (
+  SELECT u AS id, ANY_VALUE(uf)
+         + CAST(0.01 AS DOUBLE) * (SUM(err * vf)
+             - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(uf)) AS f
+  FROM e1 GROUP BY u
+),
+i2 AS MATERIALIZED (
+  SELECT i AS id, ANY_VALUE(vf)
+         + CAST(0.01 AS DOUBLE) * (SUM(err * uf)
+             - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(vf)) AS f
+  FROM e1 GROUP BY i
+)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
+ORDER BY kind, id
+""",
+
         "als_k1": """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
