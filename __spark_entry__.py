@@ -388,6 +388,24 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC: converge on 80% of the edges, warm-start with
+    the rest (seeded labels + new-edge-endpoint frontier only) — the
+    result must be the EXACT full-graph min-label fixpoint, so the
+    oracle is the same recursive-CTE labeling the cold query uses."""
+    from powergraph_spark.algorithms import connected_components
+
+    g = _co_graph(spark, sf_dir)
+    full = g.edges.select("src", "dst")
+    old = full.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(10)) < 8)
+    new = full.join(old, ["src", "dst"], "left_anti")
+    g1 = Graph.from_edges(old, num_partitions=g.num_partitions)
+    prev = connected_components(g1)
+    warm = connected_components(g, prev_state=prev.state, new_edges=new)
+    g1.unpersist()
+    return warm.state.select("id", "component").orderBy("id")
+
+
 def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram (connected_component_stats.cpp:65-155)."""
     g = _co_graph(spark, sf_dir)
@@ -1070,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sgd_k1": q_sgd_k1,
         "recommend": q_recommend,
         "connected_components": q_connected_components,
+        "cc_warm": q_cc_warm,
         "cc_sizes": q_cc_sizes,
         "label_propagation2": q_label_propagation2,
         "triangles_total": q_triangles_total,
@@ -1819,7 +1838,7 @@ FROM planted ORDER BY doc_id
 
 def oracle_sql() -> dict[str, str]:
     E = _SQL_EDGES
-    return {
+    out = {
         "degree_stats": f"""
 WITH {E}
 SELECT v.id,
@@ -2330,3 +2349,6 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
     }
+    # incremental CC must land on the SAME full-graph fixpoint
+    out["cc_warm"] = out["connected_components"]
+    return out

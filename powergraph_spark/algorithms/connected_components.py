@@ -35,9 +35,22 @@ def connected_components(
     edge_aggregators: dict[str, list] | None = None,
     plan_hook=None,
     resume: bool = False,
+    prev_state: DataFrame | None = None,
+    new_edges: DataFrame | None = None,
     verbose: bool = False,
 ) -> GASResult:
-    """Returns GASResult whose state is (id, component, changed)."""
+    """Returns GASResult whose state is (id, component, changed).
+
+    Warm start (``prev_state`` + ``new_edges``): min-label is a
+    MONOTONE monoid, so a converged labeling stays a valid upper bound
+    when edges are appended — seed components from the previous run
+    (new vertices start at their own id) and signal ONLY the endpoints
+    of the new edges; the smaller label floods across any newly-merged
+    component while untouched components never reactivate. Same
+    fixpoint as a cold run on the grown graph (exact), in supersteps
+    bounded by the merged region's diameter. The across-runs analog of
+    the reference's dynamic scheduling, mirroring
+    ``pagerank_warm_start``."""
     P = graph.num_partitions
     # ALL_EDGES view: label floods both directions.
     sym = (
@@ -47,9 +60,31 @@ def connected_components(
     )
     sym.count()
 
-    init = graph.vertices.select(
-        "id", F.col("id").alias("component"), F.lit(True).alias("changed")
-    ).repartition(P, "id")
+    if prev_state is not None:
+        if new_edges is None:
+            raise ValueError("warm start needs new_edges alongside prev_state")
+        prev = prev_state.select("id", F.col("component").alias("_pc"))
+        ends = (
+            new_edges.select(F.col("src").alias("id"))
+            .unionAll(new_edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("_t", F.lit(True))
+        )
+        init = (
+            graph.vertices.select("id")
+            .join(prev, "id", "left")
+            .join(ends, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_pc", F.col("id")).alias("component"),
+                F.coalesce("_t", F.lit(False)).alias("changed"),
+            )
+            .repartition(P, "id")
+        )
+    else:
+        init = graph.vertices.select(
+            "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+        ).repartition(P, "id")
 
     def step(g: Graph, state: DataFrame, i: int):
         # shuffle_hash hints (same discipline as pagerank.py): the

@@ -261,6 +261,31 @@ def test_pagerank_delta_matches_dense(spark):
     assert sum(actives) < delta.supersteps * nv
 
 
+def test_cc_warm_start_matches_cold(spark):
+    """Warm-started CC (seed labels from a converged run, signal only
+    new-edge endpoints) reaches the exact cold fixpoint on the grown
+    graph, touching only the merged region."""
+    e1 = [tuple(p) for p in powerlaw_edges(300, seed=2)]
+    e1 += [(u + 1000, v + 1000) for u, v in powerlaw_edges(80, seed=6)]
+    e2 = [(5, 1003), (1010, 7)]  # bridges merging the two domains
+    g1 = build(spark, e1)
+    prev = connected_components(g1)
+
+    gfull = build(spark, sorted(set(e1) | set(e2)))
+    new_df = spark.createDataFrame(e2, "src long, dst long")
+    warm = connected_components(gfull, prev_state=prev.state,
+                                new_edges=new_df)
+    cold = connected_components(gfull)
+    gw = sorted((r["id"], r["component"]) for r in warm.state.collect())
+    gc = sorted((r["id"], r["component"]) for r in cold.state.collect())
+    assert gw == gc
+    # cold floods every vertex in superstep 1; warm starts from 4
+    # endpoints and only the absorbed domain relabels
+    assert warm.metrics[0].active < cold.metrics[0].active
+    assert (sum(m.active for m in warm.metrics)
+            < 0.5 * sum(m.active for m in cold.metrics))
+
+
 def test_pagerank_warm_start_matches_cold(spark):
     """Incremental PageRank: appending edges to a converged delta run
     and warm-starting must reach the SAME fixpoint as a cold run on the
