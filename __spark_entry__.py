@@ -229,6 +229,32 @@ def q_sgd_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind", "id")
 
 
+def q_svd_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated SVD (svd.cpp Lanczos analog), k=1 instantiation: two
+    alternating normalized power steps unroll to SQL (norms carry the
+    engine's 1e-12 Cholesky ridge). Rows: per-vertex singular-vector
+    components plus the ('s', 0, sigma) singular-value row."""
+    from powergraph_spark.algorithms import svd
+    from powergraph_spark.algorithms.als import ratings_graph
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = svd(
+        g, k=1, iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+    )
+    u = res.user_vectors.selectExpr(
+        "'u' AS kind", "id", "round(arr[0], 5) AS f"
+    )
+    i = res.item_vectors.selectExpr(
+        "'i' AS kind", "id", "round(arr[0], 5) AS f"
+    )
+    s = spark.createDataFrame(
+        [("s", 0, round(res.singular_values[0], 5))],
+        "kind string, id long, f double",
+    )
+    return u.unionByName(i).unionByName(s).orderBy("kind", "id")
+
+
 def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 unseen-part recommendations per customer from the k=1 ALS
     factors — deterministic (score desc, item asc tie-break), so the
@@ -1086,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_k1": q_als_k1,
         "kmeans_clusters": q_kmeans,
         "sgd_k1": q_sgd_k1,
+        "svd_k1": q_svd_k1,
         "recommend": q_recommend,
         "connected_components": q_connected_components,
         "cc_warm": q_cc_warm,
@@ -1859,6 +1886,57 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # w = sum(f*r)/(lambda*n + sum(f^2)), regnormal reg = 0.1*n,
         # portable init ((abs(id)%97)+1)/98 (item vertex id = -(i+2))
         "kmeans_clusters": _kmeans_oracle_sql(),
+        # SVD k=1: two alternating normalized power steps; norms carry
+        # the engine's 1e-12 Cholesky ridge; sigma = final V-step norm
+        "svd_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+ur1 AS MATERIALIZED (
+  SELECT r.u AS id, SUM(r.rating * v0.f) AS f
+  FROM r JOIN v0 ON v0.id = r.i GROUP BY r.u
+),
+nu1 AS MATERIALIZED (
+  SELECT SQRT(SUM(f * f) + CAST(1e-12 AS DOUBLE)) AS n FROM ur1
+),
+u1 AS MATERIALIZED (SELECT id, f / (SELECT n FROM nu1) AS f FROM ur1),
+vr1 AS MATERIALIZED (
+  SELECT r.i AS id, SUM(r.rating * u1.f) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+nv1 AS MATERIALIZED (
+  SELECT SQRT(SUM(f * f) + CAST(1e-12 AS DOUBLE)) AS n FROM vr1
+),
+v1 AS MATERIALIZED (SELECT id, f / (SELECT n FROM nv1) AS f FROM vr1),
+ur2 AS MATERIALIZED (
+  SELECT r.u AS id, SUM(r.rating * v1.f) AS f
+  FROM r JOIN v1 ON v1.id = r.i GROUP BY r.u
+),
+nu2 AS MATERIALIZED (
+  SELECT SQRT(SUM(f * f) + CAST(1e-12 AS DOUBLE)) AS n FROM ur2
+),
+u2 AS MATERIALIZED (SELECT id, f / (SELECT n FROM nu2) AS f FROM ur2),
+vr2 AS MATERIALIZED (
+  SELECT r.i AS id, SUM(r.rating * u2.f) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+),
+nv2 AS MATERIALIZED (
+  SELECT SQRT(SUM(f * f) + CAST(1e-12 AS DOUBLE)) AS n FROM vr2
+),
+v2 AS MATERIALIZED (SELECT id, f / (SELECT n FROM nv2) AS f FROM vr2)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM v2
+UNION ALL
+SELECT 's' AS kind, 0 AS id, ROUND((SELECT n FROM nv2), 5) AS f
+ORDER BY kind, id
+""",
         # SGD k=1: two simultaneous batch-GD supersteps of the scalar
         # rule u' = u + g*(sum err*i - l*n*u), g=0.01 l=0.1, same
         # portable init as als_k1

@@ -13,6 +13,7 @@ from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
+from .svd import SVDResult, svd
 from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
@@ -27,6 +28,8 @@ __all__ = [
     "cluster_sizes",
     "recommend_topk",
     "sgd",
+    "svd",
+    "SVDResult",
     "pagerank",
     "pagerank_delta",
     "pagerank_warm_start",
