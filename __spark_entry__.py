@@ -1104,9 +1104,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order matters: the driver's CORRECTNESS harness checks the
+    FIRST 50 entries. Round-5 rotation (documented in README §correctness):
+    the five queries that sat past position 50 in round 4 (`contamination`,
+    `pii_redact`, `stream_window_counts`, `warp_nbr_degree_sum`, `sessions`)
+    now lead, and eleven long-stable queries (green in r02-r04 drivers AND in
+    the in-repo DuckDB-oracle pytest) rotate to the tail so new round-5
+    toolkit queries stay inside the window. Rotate back in r06."""
     return {
-        "degree_stats": q_degree_stats,
-        "degree_histogram": q_degree_histogram,
+        # --- previously outside the driver window (r04) — verify first
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
+        "stream_window_counts": q_stream_window_counts,
+        "warp_nbr_degree_sum": q_warp_nbr_degree_sum,
+        "sessions": q_sessions,
+        # --- algorithm toolkits
         "pagerank3": q_pagerank3,
         "pagerank_warm": q_pagerank_warm,
         "als_k1": q_als_k1,
@@ -1116,15 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend": q_recommend,
         "connected_components": q_connected_components,
         "cc_warm": q_cc_warm,
-        "cc_sizes": q_cc_sizes,
         "label_propagation2": q_label_propagation2,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
-        "neighbors_hop": q_neighbors_hop,
-        "vertex_join": q_vertex_join,
-        "select_vset": q_select_vset,
-        "graph_stats": q_graph_stats,
-        "vset_ops": q_vset_ops,
         "sssp_hops": q_sssp_hops,
         "kcore": q_kcore,
         "closeness": q_closeness,
@@ -1140,13 +1146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplacian": q_laplacian,
         "eigen3": q_eigen3,
         "approx_diameter": q_approx_diameter,
+        # --- datapipe / ANN
         "lsh_topk": q_lsh_topk,
-        "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact": q_dedup_exact,
         "text_quality_full": q_text_quality_full,
-        "doc_fingerprint": q_doc_fingerprint,
         "lang_histogram": q_lang_histogram,
         "knn_cosine": q_knn_cosine,
         "ivf_topk": q_ivf_topk,
@@ -1155,11 +1159,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "jaccard": q_jaccard,
         "embedding_dups": q_embedding_dups,
-        "contamination": q_contamination,
-        "pii_redact": q_pii_redact,
-        "stream_window_counts": q_stream_window_counts,
-        "warp_nbr_degree_sum": q_warp_nbr_degree_sum,
-        "sessions": q_sessions,
+        # --- round-5 toolkit queries are inserted here (inside the window)
+        # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "select_vset": q_select_vset,
+        "vset_ops": q_vset_ops,
+        "graph_stats": q_graph_stats,
+        "neighbors_hop": q_neighbors_hop,
+        "vertex_join": q_vertex_join,
+        "degree_stats": q_degree_stats,
+        "degree_histogram": q_degree_histogram,
+        "cc_sizes": q_cc_sizes,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
