@@ -226,6 +226,12 @@ def directed_triangle_counts(
             .alias("cycle_triangles"),
         )
     )
+    # Materialize once, then release every cached intermediate — a
+    # long-lived session calling this repeatedly must not accumulate
+    # blocks (e/eh/outH/inH/per_edge are only needed to build `out`).
+    out = out.localCheckpoint(eager=True)
+    for cached in (per_edge, outH, inH, eh, e):
+        cached.unpersist()
     return out
 
 

@@ -63,6 +63,28 @@ def _gram(vecs: DataFrame, k: int):
     return g.reshape(k, k)
 
 
+def _chol_r(g, k: int):
+    """(R, diag_sigma) with g = Rᵀ R. Happy path: Cholesky on
+    g + 1e-12·I (the exact expression the svd_k1 oracle mirrors).
+    A rank-deficient block with a large-norm Gram can carry float
+    error above the absolute ridge and make Cholesky raise — degrade
+    gracefully via eigh: R = diag(√w⁺)·Qᵀ (eigenvalues clamped to the
+    ridge, sorted descending) still satisfies RᵀR = g on the PSD
+    projection, keeps R invertible, and its singular-value estimate
+    is √w rather than diag(R)."""
+    import numpy as np
+
+    try:
+        R = np.linalg.cholesky(g + 1e-12 * np.eye(k)).T
+        return R, [float(R[j][j]) for j in range(k)]
+    except np.linalg.LinAlgError:
+        w, Q = np.linalg.eigh(g)
+        order = np.argsort(w)[::-1]
+        w = np.maximum(w[order], 1e-12)
+        R = np.sqrt(w)[:, None] * Q[:, order].T
+        return R, [float(x) for x in np.sqrt(w)]
+
+
 def _apply_rinv(vecs: DataFrame, rinv, k: int) -> DataFrame:
     """(id, arr) -> (id, arr @ R⁻¹): one constant k x k matrix, each
     output element a JVM dot product against a column of R⁻¹."""
@@ -128,8 +150,7 @@ def svd(
     it = 0
     for it in range(1, iterations + 1):
         U_raw = matvec(V, "src", "dst")
-        g = _gram(U_raw, k)
-        R = np.linalg.cholesky(g + 1e-12 * np.eye(k)).T  # g = Rᵀ R
+        R, _ = _chol_r(_gram(U_raw, k), k)  # g = Rᵀ R
         new_U = _apply_rinv(U_raw, np.linalg.inv(R), k).localCheckpoint(
             eager=True
         )
@@ -138,9 +159,7 @@ def svd(
         U = new_U
 
         V_raw = matvec(U, "dst", "src")
-        g = _gram(V_raw, k)
-        R = np.linalg.cholesky(g + 1e-12 * np.eye(k)).T
-        sigma = [float(R[j][j]) for j in range(k)]
+        R, sigma = _chol_r(_gram(V_raw, k), k)
         new_V = _apply_rinv(V_raw, np.linalg.inv(R), k).localCheckpoint(
             eager=True
         )

@@ -154,10 +154,12 @@ def _edge_state_view(graph: Graph, state: DataFrame) -> DataFrame:
     dst_side = state.select(
         *[state[c].alias(f"dst_{c}") for c in state.columns]
     )
+    # shuffle_hash for the same reason as the scatter join: under AQE a
+    # |V|-row state side can flip to a per-call broadcast at scale.
     e = graph.edges
-    return e.join(src_side, e.src == src_side.src_id).join(
-        dst_side, e.dst == dst_side.dst_id
-    )
+    return e.join(
+        src_side.hint("shuffle_hash"), e.src == src_side.src_id
+    ).join(dst_side.hint("shuffle_hash"), e.dst == dst_side.dst_id)
 
 
 def total_shuffle_write_bytes(spark) -> int:

@@ -119,6 +119,7 @@ def sessionize(
     time_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    watermark_minutes: float | None = None,
 ) -> DataFrame:
     """Gap-based user sessions as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState, GroupState timeout on the event-time
@@ -126,7 +127,16 @@ def sessionize(
     while gaps stay under ``gap_minutes``; a session closes when the
     watermark passes its end + gap. On a batch DataFrame the same
     semantics run as a window/lag expression pipeline (no Python) —
-    used as the differential oracle for the stateful path."""
+    used as the differential oracle for the stateful path.
+
+    ``watermark_minutes`` (default = ``gap_minutes``) is the late-data
+    tolerance. With the default delay == gap, every on-time event is
+    provably within ``gap`` of the stored session start, so the state
+    update is a pure widen and the stream matches the batch oracle
+    exactly. A LARGER delay admits on-time events more than ``gap``
+    before the stored start; those merge into their own earlier
+    session(s), emitted as the batch oracle would — see the interval
+    merge in ``fn``."""
     import pandas as pd
 
     gap = pd.Timedelta(minutes=gap_minutes)
@@ -178,28 +188,37 @@ def sessionize(
                          "n_events", "total_value"],
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values(time_col)
-        out = []
+        rows = pd.concat(list(pdfs))
+        # Exact interval merge of {stored session} ∪ {batch events}:
+        # an on-time event may sort anywhere relative to the stored
+        # bounds (within-batch rows are sorted below, cross-batch
+        # arrival is not), including MORE than `gap` before
+        # session_start — such events form their own earlier session,
+        # emitted here, exactly as the fully-sorted batch oracle would.
+        # (Only if further events for an already-emitted earlier
+        # session arrive in a yet-later batch — possible only while the
+        # per-user session front runs ahead of the global watermark by
+        # more than `gap` — does the stream emit a split the batch
+        # oracle would merge.)
+        items = [
+            (ts, ts, 1, float(val))
+            for ts, val in zip(rows[time_col], rows[value_col])
+        ]
         if state.exists:
             start, end, n, total = state.get
-            start, end = pd.Timestamp(start), pd.Timestamp(end)
-        else:
-            start = end = None
-            n, total = 0, 0.0
-        for ts, val in zip(rows[time_col], rows[value_col]):
-            if start is None:
-                start, end, n, total = ts, ts, 1, float(val)
-            elif ts - end > gap:
-                out.append([uid, start, end, n, round(total, 5)])
-                start, end, n, total = ts, ts, 1, float(val)
+            items.append((pd.Timestamp(start), pd.Timestamp(end), n, total))
+        items.sort(key=lambda t: (t[0], t[1]))
+        merged = [items[0]]
+        for s2, e2, n2, t2 in items[1:]:
+            s1, e1, n1, t1 = merged[-1]
+            if s2 - e1 > gap:
+                merged.append((s2, e2, n2, t2))
             else:
-                # An on-time event from a later microbatch may still sort
-                # BEFORE the stored session bounds (within-batch rows are
-                # sorted, cross-batch arrival is not): the session must only
-                # ever widen, so keep start/end monotone instead of assigning
-                # the incoming ts — matching the fully-sorted batch oracle.
-                start = min(start, ts)
-                end, n, total = max(end, ts), n + 1, total + float(val)
+                merged[-1] = (s1, max(e1, e2), n1 + n2, t1 + t2)
+        out = [
+            [uid, s, e, n, round(t, 5)] for s, e, n, t in merged[:-1]
+        ]
+        start, end, n, total = merged[-1]
         state.update((start.isoformat(), end.isoformat(), n, total))
         state.setTimeoutTimestamp(
             int((end + gap).timestamp() * 1000)
@@ -211,8 +230,9 @@ def sessionize(
                          "n_events", "total_value"],
             )
 
+    wm = gap_minutes if watermark_minutes is None else watermark_minutes
     return (
-        events.withWatermark(time_col, f"{int(gap_minutes)} minutes")
+        events.withWatermark(time_col, f"{int(wm)} minutes")
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,

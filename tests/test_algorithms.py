@@ -236,6 +236,23 @@ def test_cc_superstep_plan_no_broadcast_of_state(spark):
         assert "ShuffledHashJoin" in p, p
 
 
+def test_edge_state_view_plan_no_broadcast_of_state(spark):
+    """VERDICT r4 hygiene: the edge-aggregator view joins |V|-row state
+    onto edges twice — both joins must follow the same shuffle_hash
+    discipline as the scatter join (an AQE broadcast of state per
+    termination check is the at-scale failure mode)."""
+    from powergraph_spark.gas import _edge_state_view
+
+    g = build(spark, PL_EDGES)
+    state = g.vertices.selectExpr("id", "CAST(id % 7 AS DOUBLE) AS x")
+    view = _edge_state_view(g, state)
+    p = view._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in p, p
+    assert p.count("ShuffledHashJoin") >= 2, p
+    # and the view is semantically the two-sided join
+    assert view.filter("src_x IS NULL OR dst_x IS NULL").count() == 0
+
+
 def test_pagerank_delta_matches_dense(spark):
     """Delta/gather-cache PageRank (post_delta, pagerank.cpp:124-135)
     must agree with the dense recompute within tolerance, while

@@ -203,6 +203,34 @@ def test_sgd_matches_numpy(spark, als_setup):
         < rmse(res.user_factors, res.item_factors, train)
 
 
+def test_als_cross_arrow_batch_carry(spark, als_setup):
+    """The segmented normal-equation kernel merges partial (XᵀX, Xᵀy)
+    sums when one vertex's ratings straddle an Arrow batch boundary.
+    Force 3-row batches (default 10k never splits the unit fixture) so
+    the carry branch runs on nearly every vertex. The carry merge
+    regroups a segment's partial sums ((batch₂ partial) + (batch₁
+    carry) vs one sequential reduceat), so the contract is float-sum
+    associativity noise, not bit identity — measured 1.4e-14 relative
+    on this fixture; a logic bug (dropped/duplicated rows, wrong n)
+    shows up orders of magnitude above 1e-12."""
+    rows, df, g = als_setup
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key)
+    base = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=2)
+    fa = {r["id"]: np.array(r["factor"])
+          for r in base.user_factors.collect()}
+    try:
+        spark.conf.set(key, "3")
+        tiny = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=2)
+        fb = {r["id"]: np.array(r["factor"])
+              for r in tiny.user_factors.collect()}
+    finally:
+        spark.conf.set(key, default)
+    assert fa.keys() == fb.keys()
+    for i in fa:
+        assert np.allclose(fa[i], fb[i], rtol=1e-12, atol=1e-12), i
+
+
 def test_als_parallelism_invariant(spark, als_setup):
     """Per-vertex normal-equation sums are segment-local (a vertex's
     ratings never split across partitions), so factors are identical

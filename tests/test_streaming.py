@@ -257,3 +257,57 @@ def test_sessionize_multibatch_out_of_order(spark, tmp_path):
     assert sess[1] == t0
     assert sess[2] == t0 + datetime.timedelta(minutes=38)
     assert sess[3] == 4 and sess[4] == pytest.approx(10.0)
+
+
+def test_sessionize_far_past_event_splits_session(spark, tmp_path):
+    """ADVICE r4: with a watermark delay LARGER than the gap, an
+    on-time event can land more than `gap` before the stored session
+    start. It must become its own earlier session (emitted exactly as
+    the sorted batch oracle would), not widen the stored one."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(minutes, v):
+        return (t0 + datetime.timedelta(minutes=minutes), 1, float(v))
+
+    batches = [
+        [mk(100, 1.0), mk(110, 2.0)],   # stored session [01:40, 01:50]
+        # watermark (delay 600min) is still pre-t0: on-time, yet 100min
+        # before the stored start (gap 30) -> separate earlier session
+        [mk(0, 5.0)],
+        [(t0 + datetime.timedelta(days=365), 1, 0.0)],  # sentinel
+    ]
+    in_dir = tmp_path / "fp_in"
+    in_dir.mkdir()
+    schema = "ts timestamp, user_id long, value double"
+    import time
+
+    base = time.time()
+    for i, rows in enumerate(batches):
+        d = in_dir / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        for f in d.iterdir():
+            os.utime(f, (base + 60 * i, base + 60 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out = str(tmp_path / "fp_out")
+    run_stream_to_parquet(
+        sessionize(stream, gap_minutes=30.0, watermark_minutes=600.0),
+        out, str(tmp_path / "fp_ck"),
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    all_events = spark.createDataFrame(
+        [r for b in batches[:2] for r in b], schema
+    )
+    exp = sorted(
+        tuple(r) for r in sessionize(all_events, gap_minutes=30.0).collect()
+    )
+    assert got == exp
+    assert len(got) == 2  # [00:00] alone and [01:40, 01:50]
+    assert got[0][1] == got[0][2] == t0 and got[0][3] == 1
+    assert got[1][1] == t0 + datetime.timedelta(minutes=100)

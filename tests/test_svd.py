@@ -88,3 +88,48 @@ def test_svd_matches_numpy_replica_and_spectrum(spark):
         np.linalg.svd(A, compute_uv=False)[K:]
     ) / np.linalg.norm(A)
     assert rel < tail * 1.05 + 1e-6
+
+
+def test_chol_r_rank_deficient_fallback():
+    """ADVICE r4: a rank-deficient Gram with norm large enough that
+    float error swamps the absolute 1e-12 ridge must degrade to the
+    eigh path (RᵀR = PSD-projection of g, R invertible, σ = √w desc)
+    instead of raising LinAlgError."""
+    from powergraph_spark.algorithms.svd import _chol_r
+
+    rng = np.random.RandomState(3)
+    k = 4
+    x = rng.randn(k, 2) * 1e6
+    g = x @ x.T  # rank 2, entries ~1e12
+    np.testing.assert_raises(
+        np.linalg.LinAlgError,
+        np.linalg.cholesky, g + 1e-12 * np.eye(k),
+    )
+    R, sigma = _chol_r(g, k)
+    assert np.allclose(R.T @ R, g, rtol=1e-9, atol=1e-3)
+    assert np.isfinite(np.linalg.inv(R)).all()
+    assert sigma == sorted(sigma, reverse=True)
+    true = np.sqrt(np.maximum(np.linalg.eigvalsh(g), 0))[::-1]
+    assert np.allclose(sigma[:2], true[:2], rtol=1e-9)
+
+
+def test_svd_rank_deficient_block_completes(spark):
+    """End-to-end: k above the matrix rank with large ratings — the
+    iteration must complete and still recover the true top singular
+    value."""
+    n_u, n_i = 12, 8
+    u = np.arange(1, n_u + 1, dtype=float)
+    v = np.arange(1, n_i + 1, dtype=float)
+    A = 1e5 * np.outer(u, v)  # exactly rank 1, large norm
+    rows = [
+        (i, j, float(A[i, j]), "train")
+        for i in range(n_u) for j in range(n_i)
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, item long, rating double, role string"
+    )
+    g = ratings_graph(df, num_partitions=2, role_col="role")
+    res = svd(g, k=3, iterations=8)
+    true_top = np.linalg.svd(A, compute_uv=False)[0]
+    assert np.isfinite(res.singular_values).all()
+    assert abs(res.singular_values[0] - true_top) / true_top < 1e-6
