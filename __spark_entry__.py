@@ -372,6 +372,96 @@ SELECT id AS vec_id, cluster, ROUND(d, 5) AS sqdist FROM (
     )
 
 
+def q_lda_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed-Gibbs LDA (cgs_lda.cpp:520-549), k=2 deterministic
+    instantiation: (doc, word, occ) occurrence rows from the documents
+    table, 2 BSP-determinized Gibbs supersteps with md5-seeded draws
+    (each occurrence excludes its own assignment from the counts, the
+    reference's decrement), output = per-doc topic counts."""
+    from powergraph_spark.algorithms.lda import doc_word_tokens, lda
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = doc_word_tokens(docs)
+    res = lda(toks, k=2, alpha=0.5, beta=0.5, iterations=2, seed="drv")
+    return res.doc_topics.select(
+        F.col("doc").alias("doc_id"),
+        F.element_at("counts", 1).alias("t0"),
+        F.element_at("counts", 2).alias("t1"),
+    ).orderBy("doc_id")
+
+
+def _lda_sql(iters: int = 2, seed: str = "drv") -> str:
+    """Unrolled DuckDB twin of q_lda_k2: same tokenizer, same
+    md5-uniform draws (first 8 hex nibbles / 16^8), same k=2
+    probability arithmetic in the same DOUBLE operation order
+    ((n_dt - s + 0.5)·(n_wt - s + 0.5)/(n_t - s + W·β))."""
+    hexv = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+    def u(h):
+        nib = " + ".join(
+            f"{hexv.format(h=h, p=j + 1)} * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        return f"(CAST(({nib}) AS DOUBLE) / 4294967296.0E0)"
+
+    w = "regexp_replace(lower(raw), '[^a-z]', '', 'g')"
+    parts = [
+        "docs AS MATERIALIZED (SELECT doc_id AS doc, text FROM documents)",
+        f"toksr AS (SELECT doc, unnest({_SQL_TOKS}) AS raw FROM docs)",
+        f"pairs AS (SELECT doc, {w} AS word, COUNT(*) AS cnt FROM toksr "
+        f"WHERE length({w}) >= 3 GROUP BY 1, 2)",
+        "occs AS MATERIALIZED (SELECT doc, word, "
+        "unnest(generate_series(1, cnt)) AS occ FROM pairs)",
+        "wbv AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE)"
+        " * 0.5E0 AS wb FROM occs)",
+        f"h0 AS (SELECT doc, word, occ, md5('{seed}:' || 'init:' || "
+        "doc::VARCHAR || ':' || word || ':' || occ::VARCHAR) AS h "
+        "FROM occs)",
+        f"z0 AS MATERIALIZED (SELECT doc, word, occ, "
+        f"CAST(FLOOR({u('h')} * 2) AS INT) AS z FROM h0)",
+    ]
+    for it in range(1, iters + 1):
+        p = it - 1
+        parts.extend([
+            f"dt{it} AS MATERIALIZED (SELECT doc, "
+            "CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0, "
+            "CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1 "
+            f"FROM z{p} GROUP BY doc)",
+            f"wt{it} AS MATERIALIZED (SELECT word, "
+            "CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0, "
+            "CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1 "
+            f"FROM z{p} GROUP BY word)",
+            f"nt{it} AS MATERIALIZED (SELECT "
+            "CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0, "
+            "CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1 "
+            f"FROM z{p})",
+            f"j{it} AS (SELECT o.doc, o.word, o.occ, "
+            "(CASE WHEN o.z = 0 THEN 1 ELSE 0 END) AS s0, "
+            "(CASE WHEN o.z = 1 THEN 1 ELSE 0 END) AS s1, "
+            "d.d0, d.d1, w.w0, w.w1, n.n0, n.n1, b.wb, "
+            f"md5('{seed}:' || '{it}:' || o.doc::VARCHAR || ':' || o.word "
+            f"|| ':' || o.occ::VARCHAR) AS h "
+            f"FROM z{p} o JOIN dt{it} d USING (doc) "
+            f"JOIN wt{it} w USING (word) CROSS JOIN nt{it} n CROSS JOIN "
+            "wbv b)",
+            f"q{it} AS (SELECT doc, word, occ, {u('h')} AS u, "
+            "((d0 - s0 + 0.5E0) * (w0 - s0 + 0.5E0) / (n0 - s0 + wb)) AS p0, "
+            "((d1 - s1 + 0.5E0) * (w1 - s1 + 0.5E0) / (n1 - s1 + wb)) AS p1 "
+            f"FROM j{it})",
+            f"z{it} AS MATERIALIZED (SELECT doc, word, occ, "
+            "CAST(CASE WHEN u * (p0 + p1) < p0 THEN 0 ELSE 1 END AS INT) "
+            f"AS z FROM q{it})",
+        ])
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT doc AS doc_id,
+       CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+       CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+FROM z{iters} GROUP BY doc ORDER BY doc_id
+"""
+    )
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank differential, oracle-encoded: converge
     delta PageRank on 80% of the edges, warm-start on the full graph
@@ -1160,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard": q_jaccard,
         "embedding_dups": q_embedding_dups,
         # --- round-5 toolkit queries are inserted here (inside the window)
+        "lda_k2": q_lda_k2,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
         "select_vset": q_select_vset,
         "vset_ops": q_vset_ops,
@@ -1898,6 +1989,9 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # w = sum(f*r)/(lambda*n + sum(f^2)), regnormal reg = 0.1*n,
         # portable init ((abs(id)%97)+1)/98 (item vertex id = -(i+2))
         "kmeans_clusters": _kmeans_oracle_sql(),
+        # collapsed-Gibbs LDA k=2: exact replay of the determinized
+        # chain (md5 draws, self-excluded counts), 2 supersteps
+        "lda_k2": _lda_sql(),
         # SVD k=1: two alternating normalized power steps; norms carry
         # the engine's 1e-12 Cholesky ridge; sigma = final V-step norm
         "svd_k1": """
