@@ -462,6 +462,126 @@ FROM z{iters} GROUP BY doc ORDER BY doc_id
     )
 
 
+# portable 2-dim spectral init (the oracle can't evaluate xxhash64)
+_SPECTRAL_INIT2 = (
+    "array(CAST((abs(id) % 97) + 1 AS DOUBLE) / 98.0E0, "
+    "CAST((abs(id) % 89) + 1 AS DOUBLE) / 90.0E0)"
+)
+
+
+def q_spectral2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral clustering (spectral_clustering.cpp workflow:
+    normalized Laplacian -> 2 smallest eigenvectors via 4 block power
+    steps on I + D^-1/2 W D^-1/2 -> 2 pinned Lloyd rounds), portable
+    init; output = (id, cluster, embedding rounded 5dp)."""
+    from powergraph_spark.algorithms.spectral import spectral_clustering
+
+    g = _co_graph(spark, sf_dir)
+    res = spectral_clustering(
+        g, k=2, power_iterations=4, kmeans_rounds=2,
+        init_expr=_SPECTRAL_INIT2,
+    )
+    return res.embedding.join(res.assignments, "id").select(
+        "id", "cluster",
+        F.round(F.element_at("arr", 1), 5).alias("e0"),
+        F.round(F.element_at("arr", 2), 5).alias("e1"),
+    ).orderBy("id")
+
+
+def _spectral_sql(iters: int = 4, rounds: int = 2) -> str:
+    """Unrolled DuckDB twin of q_spectral2: same COO mat-vec, the same
+    pure-python Cholesky/back-substitution scalar expressions (2x2,
+    ridge 1e-12), the same k-means composition as _kmeans_oracle_sql
+    on the 2-dim embedding rows."""
+    parts = [
+        "deg AS MATERIALIZED (SELECT src AS id, "
+        "CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY src)",
+        # w * (1/sqrt(d_i)) * (1/sqrt(d_j)) in the engine's op order
+        "coo AS MATERIALIZED (SELECT u.src AS i, u.dst AS j, "
+        "1.0E0 * (1.0E0 / SQRT(da.d)) * (1.0E0 / SQRT(db.d)) AS value "
+        "FROM und u JOIN deg da ON da.id = u.src "
+        "JOIN deg db ON db.id = u.dst)",
+        "x0 AS MATERIALIZED (SELECT id, "
+        "CAST((abs(id) % 97) + 1 AS DOUBLE) / 98.0E0 AS x0, "
+        "CAST((abs(id) % 89) + 1 AS DOUBLE) / 90.0E0 AS x1 FROM v)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.extend([
+            f"ax{t} AS (SELECT coo.i AS id, SUM(x.x0 * coo.value) AS a0, "
+            f"SUM(x.x1 * coo.value) AS a1 "
+            f"FROM coo JOIN x{p} x ON x.id = coo.j GROUP BY coo.i)",
+            f"y{t} AS MATERIALIZED (SELECT x.id, "
+            "(CASE WHEN a.id IS NULL THEN x.x0 ELSE x.x0 + a.a0 END) AS y0, "
+            "(CASE WHEN a.id IS NULL THEN x.x1 ELSE x.x1 + a.a1 END) AS y1 "
+            f"FROM x{p} x LEFT JOIN ax{t} a ON a.id = x.id)",
+            f"g{t} AS (SELECT SUM(y0 * y0) AS g00, SUM(y0 * y1) AS g01, "
+            f"SUM(y1 * y1) AS g11 FROM y{t})",
+            # _chol_upper + _tri_inv, 2x2, exact scalar op order
+            f"r{t} AS (SELECT SQRT(g00 + 1e-12) AS r00, "
+            "g01 / SQRT(g00 + 1e-12) AS r01, g11, g01, g00 FROM g{T})"
+            .replace("{T}", str(t)),
+            f"c{t} AS (SELECT r00, r01, "
+            "SQRT(g11 + 1e-12 - r01 * r01) AS r11 FROM r{T})"
+            .replace("{T}", str(t)),
+            f"iv{t} AS (SELECT 1.0E0 / r00 AS i00, 1.0E0 / r11 AS i11, "
+            "-(r01 * (1.0E0 / r11)) / r00 AS i01 FROM c{T})"
+            .replace("{T}", str(t)),
+            f"x{t} AS MATERIALIZED (SELECT y.id, "
+            "(y.y0 * iv.i00 + y.y1 * 0.0E0) AS x0, "
+            "(y.y0 * iv.i01 + y.y1 * iv.i11) AS x1 "
+            f"FROM y{t} y CROSS JOIN iv{t} iv)",
+        ])
+    # ---- k-means on the embedding rows (k = 2, pinned rounds) ----
+    def sq(a, b):
+        return (
+            f"(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+            f" + list_dot_product({b},{b}))"
+        )
+
+    parts.extend([
+        f"pts AS MATERIALIZED (SELECT id, [x0, x1]::DOUBLE[] AS vv "
+        f"FROM x{iters})",
+        "k0 AS MATERIALIZED (SELECT 0 AS cluster, vv FROM pts "
+        "ORDER BY id LIMIT 1)",
+        f"k1 AS MATERIALIZED (SELECT 1 AS cluster, p.vv FROM pts p, k0 c "
+        f"ORDER BY {sq('p.vv', 'c.vv')} DESC, p.id ASC LIMIT 1)",
+        "cen0 AS MATERIALIZED (SELECT * FROM k0 UNION ALL SELECT * FROM k1)",
+    ])
+    for r in range(1, rounds + 1):
+        parts.extend([
+            f"a{r} AS MATERIALIZED (SELECT id, cluster FROM ("
+            f"SELECT p.id, c.cluster, "
+            "ROW_NUMBER() OVER (PARTITION BY p.id "
+            f"ORDER BY {sq('p.vv', 'c.vv')} ASC, c.cluster ASC) AS rn "
+            f"FROM pts p CROSS JOIN cen{r - 1} c) WHERE rn = 1)",
+            f"u{r} AS (SELECT cluster, pos, AVG(val) AS m FROM ("
+            f"SELECT a.cluster, generate_subscripts(p.vv, 1) AS pos, "
+            f"unnest(p.vv) AS val FROM a{r} a JOIN pts p USING (id)) "
+            "GROUP BY cluster, pos)",
+            f"cen{r} AS MATERIALIZED (SELECT c.cluster, "
+            "COALESCE(u.vv, c.vv) AS vv "
+            f"FROM cen{r - 1} c LEFT JOIN (SELECT cluster, "
+            f"list(m ORDER BY pos) AS vv FROM u{r} GROUP BY cluster) u "
+            "USING (cluster))",
+        ])
+    return (
+        f"WITH {_SQL_EDGES_MAT},\n" + ",\n".join(parts) + f"""
+SELECT p.id, f.cluster,
+       ROUND(p.vv[1], 5) AS e0, ROUND(p.vv[2], 5) AS e1
+FROM pts p JOIN (
+  SELECT id, cluster FROM (
+    SELECT p.id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY p.id
+                              ORDER BY {sq('p.vv', 'c.vv')} ASC,
+                                       c.cluster ASC) AS rn
+    FROM pts p CROSS JOIN cen{rounds} c) WHERE rn = 1
+) f USING (id)
+ORDER BY p.id
+"""
+    )
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank differential, oracle-encoded: converge
     delta PageRank on 80% of the edges, warm-start on the full graph
@@ -1251,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         # --- round-5 toolkit queries are inserted here (inside the window)
         "lda_k2": q_lda_k2,
+        "spectral2": q_spectral2,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
         "select_vset": q_select_vset,
         "vset_ops": q_vset_ops,
@@ -1992,6 +2113,10 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # collapsed-Gibbs LDA k=2: exact replay of the determinized
         # chain (md5 draws, self-excluded counts), 2 supersteps
         "lda_k2": _lda_sql(),
+        # spectral clustering k=2: unrolled block power steps on
+        # I + D^-1/2 W D^-1/2 (exact 2x2 Cholesky/inv scalar replay)
+        # + the pinned 2-round Lloyd composition
+        "spectral2": _spectral_sql(),
         # SVD k=1: two alternating normalized power steps; norms carry
         # the engine's 1e-12 Cholesky ridge; sigma = final V-step norm
         "svd_k1": """

@@ -9,10 +9,17 @@ from .directed_triangles import (
 )
 from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
+from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
+from .spectral import (
+    SpectralResult,
+    normalized_adjacency,
+    spectral_clustering,
+    spectral_embedding,
+)
 from .svd import SVDResult, svd
 from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
@@ -52,6 +59,14 @@ __all__ = [
     "normalize_eigenvector",
     "graph_laplacian",
     "write_spectral_inputs",
+    "LDAResult",
+    "lda",
+    "doc_word_tokens",
+    "top_words",
+    "SpectralResult",
+    "spectral_clustering",
+    "spectral_embedding",
+    "normalized_adjacency",
     "multi_source_bfs",
     "closeness",
     "prestige",
