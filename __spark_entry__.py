@@ -582,6 +582,176 @@ ORDER BY p.id
     )
 
 
+def q_nmf_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMF multiplicative updates (nmf.cpp:209-241 gather/apply,
+    :517-537 alternation), k=1 instantiation: the scalar rule
+    u' = max(u * (sum_j v_j*(r/(u*v_j))) / sum_all(v), eps) is
+    SQL-expressible, so the SAME generic kernel that runs k=20 is
+    hash-checked against a DuckDB unroll of 2 full iterations.
+    Portable strictly-positive init ((abs(id) % 97) + 1) / 98."""
+    from powergraph_spark.algorithms.als import ratings_graph
+    from powergraph_spark.algorithms.nmf import nmf
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = nmf(
+        g, k=1, max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f"
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f"
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
+def q_svdpp_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD++ (svdpp.cpp:265-376, BSP-determinized Jacobi form), k=1
+    instantiation: 2 full iterations (PHASE1 implicit-weight
+    aggregation + PHASE2 gradient pass, step decay 0.9) unroll to
+    scalar SQL. Portable init p=((abs id%97)+1)/98, y=((abs id%89)+1)/90."""
+    from powergraph_spark.algorithms.als import ratings_graph
+    from powergraph_spark.algorithms.svdpp import svdpp
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = svdpp(
+        g, k=1, max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        weight_init_expr="array(CAST(abs(id) % 89 + 1 AS DOUBLE) / 90.0)",
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f",
+        "round(bias * 10000.0, 5) AS b", "CAST(0.0 AS DOUBLE) AS y",
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f",
+            "round(bias * 10000.0, 5) AS b", "round(weight[0], 5) AS y",
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
+# shared ratings CTE for the CF k=1 oracles (same as als_k1)
+_SQL_RATINGS = """
+r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)"""
+
+
+def _nmf_sql(iters: int = 2) -> str:
+    """Unrolled DuckDB twin of q_nmf_k1: px recomputed before each
+    half-update, per-edge ratio in the engine's op order, clamp at
+    1e-16 (positive init makes the zero-sum guard unreachable)."""
+    parts = [
+        "u0 AS MATERIALIZED (SELECT u AS id, "
+        "CAST(u % 97 + 1 AS DOUBLE) / 98.0 AS f "
+        "FROM (SELECT DISTINCT u FROM r))",
+        "i0 AS MATERIALIZED (SELECT i AS id, "
+        "CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f "
+        "FROM (SELECT DISTINCT i FROM r))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.extend([
+            f"xi{t} AS (SELECT SUM(f) AS x FROM i{p})",
+            f"u{t} AS MATERIALIZED (SELECT r.u AS id, GREATEST("
+            f"ANY_VALUE(u{p}.f) * (SUM(i{p}.f * (r.rating / "
+            f"(u{p}.f * i{p}.f))) / ANY_VALUE(xi{t}.x)), 1e-16) AS f "
+            f"FROM r JOIN u{p} ON u{p}.id = r.u "
+            f"JOIN i{p} ON i{p}.id = r.i CROSS JOIN xi{t} "
+            "GROUP BY r.u)",
+            f"xu{t} AS (SELECT SUM(f) AS x FROM u{t})",
+            f"i{t} AS MATERIALIZED (SELECT r.i AS id, GREATEST("
+            f"ANY_VALUE(i{p}.f) * (SUM(u{t}.f * (r.rating / "
+            f"(i{p}.f * u{t}.f))) / ANY_VALUE(xu{t}.x)), 1e-16) AS f "
+            f"FROM r JOIN i{p} ON i{p}.id = r.i "
+            f"JOIN u{t} ON u{t}.id = r.u CROSS JOIN xu{t} "
+            "GROUP BY r.i)",
+        ])
+    return (
+        f"WITH {_SQL_RATINGS},\n" + ",\n".join(parts) + f"""
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u{iters}
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i{iters}
+ORDER BY kind, id
+"""
+    )
+
+
+def _svdpp_sql(iters: int = 2) -> str:
+    """Unrolled DuckDB twin of q_svdpp_k1: per-iteration PHASE1 weight
+    aggregation + PHASE2 Jacobi gradient sums, scalar k=1 expressions
+    in the engine's exact op order, step decay 0.9 per iteration."""
+    parts = [
+        "gm AS (SELECT AVG(rating) AS m FROM r)",
+        "deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM r GROUP BY u)",
+        "s0 AS MATERIALIZED (SELECT u AS id, TRUE AS is_u, "
+        "CAST(u % 97 + 1 AS DOUBLE) / 98.0 AS p, "
+        "CAST(u % 89 + 1 AS DOUBLE) / 90.0 AS y, "
+        "CAST(0.0 AS DOUBLE) AS b FROM (SELECT DISTINCT u FROM r) "
+        "UNION ALL "
+        "SELECT i AS id, FALSE AS is_u, "
+        "CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS p, "
+        "CAST((i + 2) % 89 + 1 AS DOUBLE) / 90.0 AS y, "
+        "CAST(0.0 AS DOUBLE) AS b FROM (SELECT DISTINCT i FROM r))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        # engine: dec = 0.9 ** it (python pow); bs = fs = ws = 1e-4*dec
+        step = f"(CAST(0.0001 AS DOUBLE) * POWER(0.9, {t - 1}))"
+        reg = "CAST(0.0001 AS DOUBLE)"
+        parts.extend([
+            # PHASE1: user weight w_u = sum(y_i over edges)/sqrt(deg)
+            f"w{t} AS MATERIALIZED (SELECT r.u, "
+            f"SUM(si.y) / SQRT(ANY_VALUE(deg.d)) AS w "
+            f"FROM r JOIN s{p} si ON NOT si.is_u AND si.id = r.i "
+            "JOIN deg ON deg.u = r.u GROUP BY r.u)",
+            # PHASE2 per-edge deltas
+            f"e{t} AS MATERIALIZED (SELECT r.u, r.i, "
+            f"r.rating - ((SELECT m FROM gm) + su.b + si.b "
+            "+ su.p * (si.p + si.y)) AS err, "
+            "su.p AS up, si.p AS ip, si.y AS iy, w.w AS uw, deg.d AS ud "
+            f"FROM r JOIN s{p} su ON su.is_u AND su.id = r.u "
+            f"JOIN s{p} si ON NOT si.is_u AND si.id = r.i "
+            f"JOIN w{t} w ON w.u = r.u JOIN deg ON deg.u = r.u)",
+            f"du{t} AS (SELECT u AS id, "
+            f"SUM({step} * (err * (ip - {reg} * up))) AS dp, "
+            f"SUM({step} * err) AS db FROM e{t} GROUP BY u)",
+            f"di{t} AS (SELECT i AS id, "
+            f"SUM({step} * (err * (up + uw) - {reg} * ip)) AS dp, "
+            f"SUM({step} * ((1.0 / SQRT(ud)) * err * ip - {reg} * iy)) "
+            f"AS dy, SUM({step} * err) AS db FROM e{t} GROUP BY i)",
+            f"s{t} AS MATERIALIZED (SELECT s.id, s.is_u, "
+            "s.p + COALESCE(CASE WHEN s.is_u THEN du.dp ELSE di.dp END, "
+            "0.0) AS p, "
+            "CASE WHEN s.is_u THEN s.y "
+            "ELSE s.y + COALESCE(di.dy, 0.0) END AS y, "
+            "s.b + COALESCE(CASE WHEN s.is_u THEN du.db ELSE di.db END, "
+            "0.0) AS b "
+            f"FROM s{p} s "
+            f"LEFT JOIN du{t} du ON s.is_u AND du.id = s.id "
+            f"LEFT JOIN di{t} di ON NOT s.is_u AND di.id = s.id)",
+        ])
+    return (
+        f"WITH {_SQL_RATINGS},\n" + ",\n".join(parts) + f"""
+SELECT 'u' AS kind, id, ROUND(p, 5) AS f, ROUND(b * 10000.0, 5) AS b,
+       CAST(0.0 AS DOUBLE) AS y
+FROM s{iters} WHERE is_u
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(p, 5) AS f, ROUND(b * 10000.0, 5) AS b,
+       ROUND(y, 5) AS y
+FROM s{iters} WHERE NOT is_u
+ORDER BY kind, id
+"""
+    )
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank differential, oracle-encoded: converge
     delta PageRank on 80% of the edges, warm-start on the full graph
@@ -1372,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 toolkit queries are inserted here (inside the window)
         "lda_k2": q_lda_k2,
         "spectral2": q_spectral2,
+        "nmf_k1": q_nmf_k1,
+        "svdpp_k1": q_svdpp_k1,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
         "select_vset": q_select_vset,
         "vset_ops": q_vset_ops,
@@ -2117,6 +2289,10 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         # I + D^-1/2 W D^-1/2 (exact 2x2 Cholesky/inv scalar replay)
         # + the pinned 2-round Lloyd composition
         "spectral2": _spectral_sql(),
+        # NMF k=1: 2 unrolled multiplicative iterations
+        "nmf_k1": _nmf_sql(),
+        # SVD++ k=1: 2 unrolled PHASE1/PHASE2 iterations, decay 0.9
+        "svdpp_k1": _svdpp_sql(),
         # SVD k=1: two alternating normalized power steps; norms carry
         # the engine's 1e-12 Cholesky ridge; sigma = final V-step norm
         "svd_k1": """

@@ -13,6 +13,7 @@ from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
+from .nmf import nmf
 from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
 from .spectral import (
     SpectralResult,
@@ -21,6 +22,7 @@ from .spectral import (
     spectral_embedding,
 )
 from .svd import SVDResult, svd
+from .svdpp import SVDPPResult, svdpp, svdpp_predict
 from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
@@ -63,6 +65,10 @@ __all__ = [
     "lda",
     "doc_word_tokens",
     "top_words",
+    "nmf",
+    "SVDPPResult",
+    "svdpp",
+    "svdpp_predict",
     "SpectralResult",
     "spectral_clustering",
     "spectral_embedding",
