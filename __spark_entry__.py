@@ -582,6 +582,89 @@ ORDER BY p.id
     )
 
 
+def q_lbp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loopy BP (lbp_structured_prediction.cpp sum-product w/
+    Ising-Potts factors), 2-state instantiation on the shared fixture
+    graph: deterministic log priors from id arithmetic, smoothing 2,
+    damping 0.1, exactly 3 flooding supersteps — the factored Potts
+    convolution + max-normalization unroll to scalar SQL."""
+    from powergraph_spark.algorithms.lbp import lbp
+
+    g = _co_graph(spark, sf_dir)
+    pots = g.vertices.selectExpr(
+        "id",
+        "array(-CAST(abs(id) % 5 AS DOUBLE) / 4.0E0, "
+        "-CAST(abs(id) % 3 AS DOUBLE) / 2.0E0) AS potential",
+    )
+    res = lbp(g, pots, smoothing=2.0, damping=0.1, tolerance=0.0,
+              max_iterations=3)
+    return res.beliefs.select(
+        "id", "label",
+        F.round(F.element_at("belief", 1), 5).alias("b0"),
+        F.round(F.element_at("belief", 2), 5).alias("b1"),
+    ).orderBy("id")
+
+
+def _lbp_sql(iters: int = 3) -> str:
+    """Unrolled DuckDB twin of q_lbp2: directed messages over und,
+    per-superstep belief agg + factored convolution + damped mix in
+    the engine's exact scalar op order (fac = EXP(-(2.0*1.0)))."""
+    parts = [
+        "pot AS MATERIALIZED (SELECT id, "
+        "-CAST(abs(id) % 5 AS DOUBLE) / 4.0E0 AS p0, "
+        "-CAST(abs(id) % 3 AS DOUBLE) / 2.0E0 AS p1 FROM v)",
+        "m0 AS MATERIALIZED (SELECT src AS s, dst AS d, "
+        "CAST(0.0 AS DOUBLE) AS m0, CAST(0.0 AS DOUBLE) AS m1 FROM und)",
+    ]
+    fac = "EXP(-(2.0E0 * 1.0E0))"
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.extend([
+            f"inb{t} AS (SELECT d AS vv, SUM(m0) AS i0, SUM(m1) AS i1 "
+            f"FROM m{p} GROUP BY d)",
+            f"bel{t} AS MATERIALIZED (SELECT id, "
+            "br0 - GREATEST(br0, br1) AS b0, "
+            "br1 - GREATEST(br0, br1) AS b1 FROM (SELECT pot.id, "
+            "CASE WHEN i.vv IS NULL THEN pot.p0 "
+            "ELSE pot.p0 + i.i0 END AS br0, "
+            "CASE WHEN i.vv IS NULL THEN pot.p1 "
+            "ELSE pot.p1 + i.i1 END AS br1 "
+            f"FROM pot LEFT JOIN inb{t} i ON i.vv = pot.id))",
+            # cavity per directed edge (s,d): bel[s] - m_rev(d->s);
+            # factored convolution, normalize, damp 0.1/(1.0-0.1)
+            f"m{t} AS MATERIALIZED (SELECT s, d, "
+            "CAST(0.1 AS DOUBLE) * om0 "
+            "+ (1.0E0 - CAST(0.1 AS DOUBLE)) "
+            "* (nr0 - GREATEST(nr0, nr1)) AS m0, "
+            "CAST(0.1 AS DOUBLE) * om1 "
+            "+ (1.0E0 - CAST(0.1 AS DOUBLE)) "
+            "* (nr1 - GREATEST(nr0, nr1)) AS m1 FROM (SELECT e.s, e.d, "
+            "e.m0 AS om0, e.m1 AS om1, "
+            f"LN({fac} * (EXP(b.b0 - r.m0) + EXP(b.b1 - r.m1)) "
+            f"+ (1.0E0 - {fac}) * EXP(b.b0 - r.m0)) AS nr0, "
+            f"LN({fac} * (EXP(b.b0 - r.m0) + EXP(b.b1 - r.m1)) "
+            f"+ (1.0E0 - {fac}) * EXP(b.b1 - r.m1)) AS nr1 "
+            f"FROM m{p} e JOIN m{p} r ON r.s = e.d AND r.d = e.s "
+            f"JOIN bel{t} b ON b.id = e.s))",
+        ])
+    return (
+        f"WITH {_SQL_EDGES_MAT},\n" + ",\n".join(parts) + f"""
+SELECT b.id,
+       CASE WHEN b.b0 >= b.b1 THEN 0 ELSE 1 END AS label,
+       ROUND(b.b0, 5) AS b0, ROUND(b.b1, 5) AS b1
+FROM (SELECT id,
+        br0 - GREATEST(br0, br1) AS b0, br1 - GREATEST(br0, br1) AS b1
+      FROM (SELECT pot.id,
+        CASE WHEN i.vv IS NULL THEN pot.p0 ELSE pot.p0 + i.i0 END AS br0,
+        CASE WHEN i.vv IS NULL THEN pot.p1 ELSE pot.p1 + i.i1 END AS br1
+      FROM pot LEFT JOIN (SELECT d AS vv, SUM(m0) AS i0, SUM(m1) AS i1
+                          FROM m{iters} GROUP BY d) i
+        ON i.vv = pot.id)) b
+ORDER BY b.id
+"""
+    )
+
+
 def q_nmf_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NMF multiplicative updates (nmf.cpp:209-241 gather/apply,
     :517-537 alternation), k=1 instantiation: the scalar rule
@@ -1543,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_k2": q_lda_k2,
         "spectral2": q_spectral2,
         "nmf_k1": q_nmf_k1,
+        "lbp2": q_lbp2,
         "svdpp_k1": q_svdpp_k1,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
         "select_vset": q_select_vset,
@@ -2293,6 +2377,8 @@ SELECT degree, COUNT(*) AS n_vertices FROM dc GROUP BY degree ORDER BY degree
         "nmf_k1": _nmf_sql(),
         # SVD++ k=1: 2 unrolled PHASE1/PHASE2 iterations, decay 0.9
         "svdpp_k1": _svdpp_sql(),
+        # loopy BP 2-state: 3 unrolled flooding supersteps
+        "lbp2": _lbp_sql(),
         # SVD k=1: two alternating normalized power steps; norms carry
         # the engine's 1e-12 Cholesky ridge; sigma = final V-step norm
         "svd_k1": """

@@ -9,6 +9,7 @@ from .directed_triangles import (
 )
 from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
+from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
@@ -61,6 +62,9 @@ __all__ = [
     "normalize_eigenvector",
     "graph_laplacian",
     "write_spectral_inputs",
+    "LBPResult",
+    "lbp",
+    "belief_probabilities",
     "LDAResult",
     "lda",
     "doc_word_tokens",

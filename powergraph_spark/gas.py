@@ -46,6 +46,44 @@ from .graph import Graph
 FrontierFn = Callable[[DataFrame], DataFrame]
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` AND sever its Catalyst origin chain.
+
+    ``Dataset.localCheckpoint`` truncates the RDD lineage but the
+    resulting LogicalRDD still carries ``originStats`` /
+    ``originConstraints`` captured from the pre-checkpoint plan — whose
+    own leaves are the PREVIOUS superstep's LogicalRDD with ITS origin,
+    and so on for the whole run. A superstep state that re-enters the
+    next plan through TWO join branches (e.g. lbp's per-edge message
+    state joined with beliefs on src AND dst) makes the optimizer's
+    walk over that origin chain compound geometrically: measured on the
+    4x4-grid LBP fixture, superstep wall time grew 0.4s -> 0.9 -> 4.1
+    -> 19 -> 95s by superstep 14 (driver-side, `InjectRuntimeFilter`
+    alone accounted for 2.11s of a 2.13s optimize at step 11; disabling
+    it only moved the cost to the next stats consumer). Rebuilding the
+    checkpointed RDD as a FRESH LogicalRDD with no origin keeps every
+    superstep flat (0.12s at step 19, same fixture).
+
+    Trade-off: the fresh LogicalRDD loses outputPartitioning, so a
+    downstream co-partitioned zero-exchange join would re-exchange.
+    Loops that rely on that (pagerank's slim-state gather) keep the
+    plain localCheckpoint; loops whose state re-enters through multiple
+    shuffle branches (lbp) opt in via run_gas(origin_free_checkpoint=
+    True). Falls back to the plain localCheckpoint if the private
+    internalCreateDataFrame bridge is unavailable.
+    """
+    d2 = df.localCheckpoint(eager=True)
+    try:
+        spark = d2.sparkSession
+        jrdd = d2._jdf.queryExecution().toRdd()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, d2._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return d2
+
+
 @dataclass
 class SuperstepMetrics:
     superstep: int
@@ -211,6 +249,7 @@ def run_gas(
     resume: bool = False,
     resume_transform: Callable[[DataFrame], DataFrame] | None = None,
     audit_shuffle: bool = False,
+    origin_free_checkpoint: bool = False,
     verbose: bool = False,
 ) -> GASResult:
     """Run the superstep loop to TASK_DEPLETION / max_iterations.
@@ -252,8 +291,11 @@ def run_gas(
         termination check against the MATERIALIZED state (cheap scans,
         never re-runs the superstep) and recorded in metrics extras.
     """
+    _ckpt = truncate_plan if origin_free_checkpoint else (
+        lambda df: df.localCheckpoint(eager=True)
+    )
     t_start = time.time()
-    state = init_state.localCheckpoint(eager=True)
+    state = _ckpt(init_state)
     start_step = 0
 
     if resume and checkpoint is not None:
@@ -302,7 +344,7 @@ def run_gas(
             pre = SuperstepMetrics(i, -1, None, time.time() - t0)
             new_state = checkpoint.commit(i, new_state, pre)
         else:
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = _ckpt(new_state)
         state = new_state
 
         # termination check (free via observe; else cheap scans over
