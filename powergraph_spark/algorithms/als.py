@@ -285,6 +285,7 @@ def als(
         max_iterations=2 * max_iterations,
         check_interval=2,  # only after a FULL alternation
         edge_aggregators=edge_aggregators,
+        origin_free_checkpoint=True,
         verbose=verbose,
     )
     state = result.state
@@ -447,6 +448,7 @@ def sgd(
         tol=tolerance,
         max_iterations=max_iterations,
         edge_aggregators=edge_aggregators,
+        origin_free_checkpoint=True,
         verbose=verbose,
     )
     state = result.state

@@ -49,6 +49,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
+
+from ..gas import truncate_plan
 from pyspark.sql import functions as F
 
 _U_DEN = float(16 ** 8)
@@ -146,7 +148,7 @@ def lda(
     )
     if num_partitions:
         z = z.repartition(num_partitions, "doc")
-    z = z.localCheckpoint(eager=True)
+    z = truncate_plan(z)
 
     nchanges: list[int] = []
     wbeta = float(W * beta)
@@ -198,9 +200,9 @@ def lda(
             obs,
             F.sum((F.col("z_new") != F.col("z")).cast("long")).alias("n"),
         )
-        z = step.selectExpr(
+        z = truncate_plan(step.selectExpr(
             "doc", "word", "occ", "z_new AS z"
-        ).localCheckpoint(eager=True)
+        ))
         nchanges.append(int(obs.get["n"] or 0))
 
     doc_topics = z.groupBy("doc").agg(counts_of("z").alias("counts"))

@@ -177,6 +177,7 @@ def nmf(
         max_iterations=2 * max_iterations,
         check_interval=2,
         edge_aggregators=edge_aggregators,
+        origin_free_checkpoint=True,
         verbose=verbose,
     )
     state = result.state

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..gas import truncate_plan
 from ..graph import Graph
 from .als import _array_sum, _hash_init_expr
 from .kmeans import KMeansResult, kmeans
@@ -101,7 +102,7 @@ def spectral_embedding(
 
     x = graph.vertices.selectExpr(
         "id", f"({init_expr or _hash_init_expr(k)}) AS arr"
-    ).repartition(P, "id").localCheckpoint(eager=True)
+    ).repartition(P, "id").localCheckpoint(eager=True)  # init: single consumer
 
     for _ in range(iterations):
         # y = x + A x : COO mat-vec (scatter join on the source side,
@@ -128,7 +129,7 @@ def spectral_embedding(
         )
         g = [[float(v) for v in row] for row in _gram(y, k)]
         rinv = _tri_inv(_chol_upper(g, k, ridge), k)
-        x = _apply_rinv(y, rinv, k).localCheckpoint(eager=True)
+        x = truncate_plan(_apply_rinv(y, rinv, k))
 
     coo.unpersist()
     return x

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..datapipe.similarity import _const_matrix
+from ..gas import truncate_plan
 from ..graph import Graph
 from .als import SAFE_NEG_OFFSET, _array_sum, _hash_init_expr
 
@@ -151,18 +152,14 @@ def svd(
     for it in range(1, iterations + 1):
         U_raw = matvec(V, "src", "dst")
         R, _ = _chol_r(_gram(U_raw, k), k)  # g = Rᵀ R
-        new_U = _apply_rinv(U_raw, np.linalg.inv(R), k).localCheckpoint(
-            eager=True
-        )
+        new_U = truncate_plan(_apply_rinv(U_raw, np.linalg.inv(R), k))
         if U is not None:
             U.unpersist()
         U = new_U
 
         V_raw = matvec(U, "dst", "src")
         R, sigma = _chol_r(_gram(V_raw, k), k)
-        new_V = _apply_rinv(V_raw, np.linalg.inv(R), k).localCheckpoint(
-            eager=True
-        )
+        new_V = truncate_plan(_apply_rinv(V_raw, np.linalg.inv(R), k))
         V.unpersist()
         V = new_V
 

@@ -273,6 +273,7 @@ def svdpp(
         observe_aggs=lambda: [F.count(F.lit(1)).alias("active")],
         max_iterations=2 * max_iterations,
         check_interval=2,
+        origin_free_checkpoint=True,
         verbose=verbose,
     )
     if prev_j[0] is not None:
