@@ -294,7 +294,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms import kmeans
 
     emb = _load(spark, sf_dir, "embeddings")
-    res = kmeans(emb, k=KMEANS_K, fixed_iterations=KMEANS_ROUNDS)
+    # init pinned: the DuckDB oracle unrolls the serial farthest-point
+    # variant (the default k-means|| init is the scale path, pytest-
+    # covered by test_kmeans.py::test_parallel_init_*)
+    res = kmeans(emb, k=KMEANS_K, fixed_iterations=KMEANS_ROUNDS,
+                 init="farthest")
     return res.assignments.select(
         F.col("id").alias("vec_id"),
         "cluster",

@@ -150,12 +150,15 @@ def spectral_clustering(
     kmeans_rounds: int | None = None,
     weight_col: str | None = None,
     init_expr: str | None = None,
+    kmeans_init: str = "farthest",
 ) -> SpectralResult:
     """The reference workflow end to end: spectral embedding (k
     smallest Laplacian eigenvectors) -> Lloyd k-means over the
     embedding rows (spectral_clustering.cpp:109-146). ``kmeans_rounds``
     pins the exact round count (oracle mode); default runs k-means to
-    its own convergence."""
+    its own convergence. ``kmeans_init`` defaults to the serial
+    "farthest" variant the SQL oracle unrolls; pass "parallel" for the
+    O(log k)-scan k-means|| init on large embeddings."""
     dim = embedding_dim or k
     emb = spectral_embedding(
         graph, k=dim, iterations=power_iterations,
@@ -163,7 +166,7 @@ def spectral_clustering(
     )
     km = kmeans(
         emb, k=k, fixed_iterations=kmeans_rounds,
-        id_col="id", vec_col="arr",
+        id_col="id", vec_col="arr", init=kmeans_init,
     )
     return SpectralResult(
         embedding=emb,

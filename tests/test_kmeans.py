@@ -48,7 +48,7 @@ def test_kmeans_matches_numpy(spark):
         [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
          for i in ids]
     )
-    res = kmeans(df, k=4, fixed_iterations=5)
+    res = kmeans(df, k=4, fixed_iterations=5, init="farthest")
     exp_assign, exp_centers = _np_kmeans(X.astype(np.float64), ids, 4, 5)
     got = {r["id"]: r["cluster"] for r in res.assignments.collect()}
     assert got == exp_assign
@@ -63,6 +63,8 @@ def test_kmeans_matches_numpy(spark):
 
 
 def test_kmeans_converges_and_is_parallelism_invariant(spark):
+    """Default (k-means||) init: identical output at any parallelism —
+    the init is pure argmax selection, no sampling."""
     X, ids = _blobs(n_per=30, k=3, dim=6, seed=3)
     rows = [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
             for i in ids]
@@ -76,3 +78,34 @@ def test_kmeans_converges_and_is_parallelism_invariant(spark):
     assert ga == gb
     assert np.allclose(np.array(a.centers), np.array(b.centers),
                        atol=1e-9)
+
+
+def test_parallel_init_scan_rounds_logarithmic(spark):
+    """k-means|| init spends 2 + ceil(log2(k)) corpus passes — not the
+    serial init's k+1 (VERDICT r4 item 6: no k-long driver loop of full
+    scans at large k)."""
+    X, ids = _blobs(n_per=20, k=8, dim=4, seed=7)
+    df = spark.createDataFrame(
+        [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
+         for i in ids]
+    )
+    res = kmeans(df, k=8, fixed_iterations=2, init="parallel")
+    assert res.init_scan_rounds == 2 + 3        # ceil(log2(8)) == 3
+    far = kmeans(df, k=8, fixed_iterations=2, init="farthest")
+    assert far.init_scan_rounds == 8            # 1 + (k - 1)
+    assert res.init_scan_rounds < far.init_scan_rounds
+
+
+def test_parallel_init_recovers_planted_blobs(spark):
+    """Quality: the oversampled init still lands one center per
+    well-separated planted blob after Lloyd convergence."""
+    X, ids = _blobs(n_per=40, k=4, dim=8, seed=11)
+    df = spark.createDataFrame(
+        [Row(vec_id=int(i), embedding=[float(x) for x in X[i]])
+         for i in ids]
+    )
+    res = kmeans(df, k=4, max_iterations=30, init="parallel")
+    assert res.converged
+    from powergraph_spark.algorithms import cluster_sizes as _cs
+    sizes = sorted(r["n_points"] for r in _cs(res).collect())
+    assert sizes == [40, 40, 40, 40]
