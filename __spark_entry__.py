@@ -721,6 +721,62 @@ def q_svdpp_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind", "id")
 
 
+def q_wals_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted ALS (wals.cpp:224-231 gather, :320-337 flat-lambda
+    apply), k=1 instantiation: the scalar weighted normal equation
+    w = sum(wt*f*r) / (lambda + sum(wt*f^2)) is SQL-expressible, so
+    the SAME generic weighted kernel that runs k=20 is hash-checked
+    against a DuckDB unroll of 2 full alternations. Deterministic
+    per-edge weight 1 + (item % 5); portable init as als_k1."""
+    from powergraph_spark.algorithms.als import ratings_graph
+    from powergraph_spark.algorithms.wals import wals
+
+    ratings = _ratings(spark, sf_dir).withColumn(
+        "w", F.lit(1.0) + (F.col("item") % 5).cast("double")
+    )
+    g = ratings_graph(ratings, num_partitions=16, weight_col="w")
+    res = wals(
+        g, k=1, lam=0.1, tolerance=1e-15, max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f"
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f"
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
+def q_biassgd_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-SGD (biassgd.cpp:225-263 rule, BSP-determinized Jacobi
+    form), k=1 instantiation: two full-batch supersteps of the scalar
+    rule with global mean, per-vertex biases, and step decay 0.9
+    unroll directly to SQL. Portable init as als_k1, biases start 0."""
+    from powergraph_spark.algorithms.als import ratings_graph
+    from powergraph_spark.algorithms.biassgd import biassgd
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = biassgd(
+        g, k=1, gamma=0.01, lam=0.1, step_dec=0.9, tolerance=1e-15,
+        max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f",
+        "round(bias, 5) AS b",
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f",
+            "round(bias, 5) AS b",
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
 # shared ratings CTE for the CF k=1 oracles (same as als_k1)
 _SQL_RATINGS = """
 r AS MATERIALIZED (
@@ -1616,7 +1672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- datapipe / ANN
         "lsh_topk": q_lsh_topk,
         "exact_dup_groups": q_exact_dup_groups,
-        "dedup_exact": q_dedup_exact,
         "text_quality_full": q_text_quality_full,
         "lang_histogram": q_lang_histogram,
         "knn_cosine": q_knn_cosine,
@@ -1632,7 +1687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nmf_k1": q_nmf_k1,
         "lbp2": q_lbp2,
         "svdpp_k1": q_svdpp_k1,
+        "wals_k1": q_wals_k1,
+        "biassgd_k1": q_biassgd_k1,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "dedup_exact": q_dedup_exact,
         "select_vset": q_select_vset,
         "vset_ops": q_vset_ops,
         "graph_stats": q_graph_stats,
@@ -2526,6 +2584,118 @@ i2 AS MATERIALIZED (
 SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
 UNION ALL
 SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
+ORDER BY kind, id
+""",
+        # WALS k=1: two alternations of the scalar weighted normal
+        # equation f = sum(wt*f*r) / (0.1 + sum(wt*f^2)), flat lambda
+        # (wals.cpp:331), deterministic weight wt = 1 + (item % 5)
+        "wals_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+u1 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM((1.0 + (r.i % 5)) * i0.f * r.rating)
+         / (CAST(0.1 AS DOUBLE)
+            + SUM((1.0 + (r.i % 5)) * i0.f * i0.f)) AS f
+  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
+),
+i1 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM((1.0 + (r.i % 5)) * u1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE)
+            + SUM((1.0 + (r.i % 5)) * u1.f * u1.f)) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+u2 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM((1.0 + (r.i % 5)) * i1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE)
+            + SUM((1.0 + (r.i % 5)) * i1.f * i1.f)) AS f
+  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
+),
+i2 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM((1.0 + (r.i % 5)) * u2.f * r.rating)
+         / (CAST(0.1 AS DOUBLE)
+            + SUM((1.0 + (r.i % 5)) * u2.f * u2.f)) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
+ORDER BY kind, id
+""",
+        # bias-SGD k=1: two Jacobi supersteps of the scalar rule with
+        # global mean, biases (start 0), g0 = 0.01, g1 = 0.01*0.9,
+        # l = 0.1 applied n times per vertex (once per train edge)
+        "biassgd_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+gm AS (SELECT AVG(rating) AS m FROM r),
+u0 AS MATERIALIZED (
+  SELECT u AS id, CAST(u % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT u FROM r)
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+e0 AS MATERIALIZED (
+  SELECT r.u, r.i,
+         (r.rating - ((SELECT m FROM gm) + u0.f * i0.f)) AS err,
+         u0.f AS uf, i0.f AS vf
+  FROM r JOIN u0 ON u0.id = r.u JOIN i0 ON i0.id = r.i
+),
+u1 AS MATERIALIZED (
+  SELECT u AS id,
+         ANY_VALUE(uf) + CAST(0.01 AS DOUBLE) * (SUM(err * vf)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(uf)) AS f,
+         CAST(0.01 AS DOUBLE) * SUM(err) AS b
+  FROM e0 GROUP BY u
+),
+i1 AS MATERIALIZED (
+  SELECT i AS id,
+         ANY_VALUE(vf) + CAST(0.01 AS DOUBLE) * (SUM(err * uf)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(vf)) AS f,
+         CAST(0.01 AS DOUBLE) * SUM(err) AS b
+  FROM e0 GROUP BY i
+),
+e1 AS MATERIALIZED (
+  SELECT r.u, r.i,
+         (r.rating - ((SELECT m FROM gm) + u1.b + i1.b
+                      + u1.f * i1.f)) AS err,
+         u1.f AS uf, u1.b AS ub, i1.f AS vf, i1.b AS vb
+  FROM r JOIN u1 ON u1.id = r.u JOIN i1 ON i1.id = r.i
+),
+u2 AS MATERIALIZED (
+  SELECT u AS id,
+         ANY_VALUE(uf) + (CAST(0.01 AS DOUBLE) * CAST(0.9 AS DOUBLE)) * (SUM(err * vf)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(uf)) AS f,
+         ANY_VALUE(ub) + (CAST(0.01 AS DOUBLE) * CAST(0.9 AS DOUBLE)) * (SUM(err)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(ub)) AS b
+  FROM e1 GROUP BY u
+),
+i2 AS MATERIALIZED (
+  SELECT i AS id,
+         ANY_VALUE(vf) + (CAST(0.01 AS DOUBLE) * CAST(0.9 AS DOUBLE)) * (SUM(err * uf)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(vf)) AS f,
+         ANY_VALUE(vb) + (CAST(0.01 AS DOUBLE) * CAST(0.9 AS DOUBLE)) * (SUM(err)
+           - CAST(0.1 AS DOUBLE) * COUNT(*) * ANY_VALUE(vb)) AS b
+  FROM e1 GROUP BY i
+)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f, ROUND(b, 5) AS b FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f, ROUND(b, 5) AS b FROM i2
 ORDER BY kind, id
 """,
         "recommend": """

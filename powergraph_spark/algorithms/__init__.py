@@ -1,5 +1,6 @@
 from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse, sgd
 from .approx_diameter import approx_diameter
+from .biassgd import BiasSGDResult, biassgd, biassgd_predict
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
 from .coloring import coloring, count_colors, count_conflicts
 from .connected_components import component_sizes, connected_components
@@ -24,6 +25,7 @@ from .spectral import (
 )
 from .svd import SVDResult, svd
 from .svdpp import SVDPPResult, svdpp, svdpp_predict
+from .wals import wals
 from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
@@ -73,6 +75,10 @@ __all__ = [
     "SVDPPResult",
     "svdpp",
     "svdpp_predict",
+    "wals",
+    "BiasSGDResult",
+    "biassgd",
+    "biassgd_predict",
     "SpectralResult",
     "spectral_clustering",
     "spectral_embedding",

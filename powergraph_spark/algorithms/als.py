@@ -59,17 +59,23 @@ def ratings_graph(
     item_col: str = "item",
     rating_col: str = "rating",
     role_col: str | None = None,
+    weight_col: str | None = None,
 ) -> Graph:
     """Bipartite ALS graph: src = user id, dst = negated item id,
-    edge data (rating, role). Vertices implicit from edges."""
-    e = ratings.select(
+    edge data (rating, role[, weight]). Vertices implicit from edges.
+    ``weight_col`` attaches the per-observation weight wals() consumes
+    (wals.cpp:135-138 edge_data(obs, role, weight), default 1)."""
+    cols = [
         F.col(user_col).cast("long").alias("src"),
         item_vid(F.col(item_col)).alias("dst"),
         F.col(rating_col).cast("double").alias("rating"),
         (F.col(role_col) if role_col is not None else F.lit("train"))
         .alias("role"),
-    )
-    return Graph.from_edges(e, num_partitions=num_partitions)
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("weight"))
+    return Graph.from_edges(ratings.select(*cols),
+                            num_partitions=num_partitions)
 
 
 def _hash_init_expr(k: int) -> str:
@@ -99,6 +105,7 @@ def _solve_side(
     lam: float,
     regnormal: bool,
     P: int,
+    weighted: bool = False,
 ) -> DataFrame:
     """One ALS half-iteration: (id, factor) for every vertex on the
     updating side that has >= 1 TRAIN rating.
@@ -109,22 +116,29 @@ def _solve_side(
     deterministic order, then the segmented Arrow kernel. The carry
     across Arrow batches keeps a split segment's partial (XtX, Xy, n)
     — batches of a partition arrive in order, so this is exact.
+
+    ``weighted``: the WALS gather (wals.cpp:224-231) — each edge
+    contributes w * f fᵀ to XtX and w * f * obs to Xy; the weight
+    column must be present on ``edges``.
     """
     import numpy as np
     import pandas as pd
 
+    sel = [
+        F.col(key_col).alias("id"),
+        F.col(other_col).alias("oid"),
+        "factor",
+        F.col("rating").alias("y"),
+    ]
+    if weighted:
+        sel.append(F.col("weight").alias("w"))
     joined = (
         edges.filter(F.col("role") == "train")
         .join(
             other_factors.selectExpr(f"id AS {other_col}", "factor"),
             other_col,
         )
-        .select(
-            F.col(key_col).alias("id"),
-            F.col(other_col).alias("oid"),
-            "factor",
-            F.col("rating").alias("y"),
-        )
+        .select(*sel)
         .repartition(P, "id")
         .sortWithinPartitions("id", "oid")
     )
@@ -148,11 +162,17 @@ def _solve_side(
             ids = b["id"].to_numpy()
             X = np.array(b["factor"].tolist(), dtype=np.float64)
             y = b["y"].to_numpy(dtype=np.float64)
+            if weighted:
+                w = b["w"].to_numpy(dtype=np.float64)
+                y = y * w
+                Xw = X * w[:, None]
+            else:
+                Xw = X
             starts = np.concatenate(
                 ([0], np.flatnonzero(np.diff(ids)) + 1)
             )
             seg_ids = ids[starts]
-            outer = X[:, :, None] * X[:, None, :]
+            outer = Xw[:, :, None] * X[:, None, :]
             xtx = np.add.reduceat(outer, starts, axis=0)
             xy = np.add.reduceat(X * y[:, None], starts, axis=0)
             n = np.diff(np.concatenate((starts, [len(ids)]))).astype(
@@ -197,6 +217,7 @@ def als(
     max_iterations: int = 10,
     init_expr: str | None = None,
     with_rmse: bool = True,
+    weighted: bool = False,
     verbose: bool = False,
 ) -> ALSResult:
     """Run ALS on a ratings_graph. ``max_iterations`` counts FULL
@@ -209,9 +230,14 @@ def als(
     array<double> factor; defaults to the deterministic hash init.
     ``with_rmse``: record train/validation RMSE numerators per check
     via run_gas edge_aggregators (als.cpp error_aggregator :458-486).
+    ``weighted``: weighted-ALS gather (wals.cpp:224-231) — requires a
+    ``weight`` edge column (ratings_graph weight_col); see wals().
     """
     P = graph.num_partitions
-    edges = graph.edges.select("src", "dst", "rating", "role").persist(
+    ecols = ["src", "dst", "rating", "role"] + (
+        ["weight"] if weighted else []
+    )
+    edges = graph.edges.select(*ecols).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     edges.count()
@@ -230,7 +256,8 @@ def als(
             F.col("is_user") != user_turn
         ).select("id", "factor")
         solved = _solve_side(
-            edges, others, side, other, k, lam, regnormal, P
+            edges, others, side, other, k, lam, regnormal, P,
+            weighted=weighted,
         )
         new_state = (
             state.join(solved.withColumnRenamed("factor", "_nf")
