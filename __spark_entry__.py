@@ -777,6 +777,35 @@ def q_biassgd_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind", "id")
 
 
+def q_jacobi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jacobi linear solver (jacobi.cpp:322-326 fixed-iteration loop)
+    on a diagonally-dominant system derived from the co-purchase
+    graph: A_ij = -1 per undirected edge, A_ii = deg_i + 1,
+    b_i = (i % 10) + 1, three iterations from x = 0 — each iterate is
+    SQL-expressible, so the distributed mat-vec loop is hash-checked
+    against a DuckDB unroll."""
+    from powergraph_spark.algorithms.jacobi import jacobi
+
+    g = _co_graph(spark, sf_dir)
+    und = g.symmetrized_edges()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ents = und.select(
+        F.col("src").alias("row"), F.col("dst").alias("col"),
+        F.lit(-1.0).alias("val"),
+    ).unionAll(
+        deg.select(
+            F.col("src").alias("row"), F.col("src").alias("col"),
+            (F.col("d") + 1).cast("double").alias("val"),
+        )
+    )
+    b = deg.select(
+        F.col("src").alias("id"),
+        ((F.col("src") % 10) + 1).cast("double").alias("b"),
+    )
+    res = jacobi(ents, b, max_iterations=3, num_partitions=16)
+    return res.x.select("id", F.round("x", 5).alias("x")).orderBy("id")
+
+
 # shared ratings CTE for the CF k=1 oracles (same as als_k1)
 _SQL_RATINGS = """
 r AS MATERIALIZED (
@@ -1678,7 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
         "jaccard": q_jaccard,
         "embedding_dups": q_embedding_dups,
         # --- round-5 toolkit queries are inserted here (inside the window)
@@ -1689,7 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svdpp_k1": q_svdpp_k1,
         "wals_k1": q_wals_k1,
         "biassgd_k1": q_biassgd_k1,
+        "jacobi_x": q_jacobi,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "simhash_dups": q_simhash_dups,
         "dedup_exact": q_dedup_exact,
         "select_vset": q_select_vset,
         "vset_ops": q_vset_ops,
@@ -2697,6 +2727,39 @@ SELECT 'u' AS kind, id, ROUND(f, 5) AS f, ROUND(b, 5) AS b FROM u2
 UNION ALL
 SELECT 'i' AS kind, id, ROUND(f, 5) AS f, ROUND(b, 5) AS b FROM i2
 ORDER BY kind, id
+""",
+        # Jacobi: 3 unrolled iterations of x = (b + sum_nbr x) / (d+1)
+        # over the co-purchase graph (A_ij = -1, A_ii = deg + 1,
+        # b = id % 10 + 1, x0 = 0)
+        "jacobi_x": f"""
+WITH {_SQL_EDGES_MAT},
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY src
+),
+x1 AS MATERIALIZED (
+  SELECT id, CAST(id % 10 + 1 AS DOUBLE) / (d + 1.0) AS x FROM deg
+),
+s1 AS (
+  SELECT und.src AS id, SUM(x1.x) AS s FROM und
+  JOIN x1 ON x1.id = und.dst GROUP BY und.src
+),
+x2 AS MATERIALIZED (
+  SELECT deg.id,
+         (CAST(deg.id % 10 + 1 AS DOUBLE) + COALESCE(s1.s, 0.0))
+         / (deg.d + 1.0) AS x
+  FROM deg LEFT JOIN s1 ON s1.id = deg.id
+),
+s2 AS (
+  SELECT und.src AS id, SUM(x2.x) AS s FROM und
+  JOIN x2 ON x2.id = und.dst GROUP BY und.src
+),
+x3 AS MATERIALIZED (
+  SELECT deg.id,
+         (CAST(deg.id % 10 + 1 AS DOUBLE) + COALESCE(s2.s, 0.0))
+         / (deg.d + 1.0) AS x
+  FROM deg LEFT JOIN s2 ON s2.id = deg.id
+)
+SELECT id, ROUND(x, 5) AS x FROM x3 ORDER BY id
 """,
         "recommend": """
 WITH r AS MATERIALIZED (

@@ -12,6 +12,7 @@ from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
+from .jacobi import JacobiResult, jacobi
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
@@ -76,6 +77,8 @@ __all__ = [
     "svdpp",
     "svdpp_predict",
     "wals",
+    "JacobiResult",
+    "jacobi",
     "BiasSGDResult",
     "biassgd",
     "biassgd_predict",
