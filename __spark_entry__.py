@@ -806,6 +806,115 @@ def q_jacobi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.x.select("id", F.round("x", 5).alias("x")).orderBy("id")
 
 
+def q_adpredict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdPredictor Bayesian probit CTR (adpredictor.cpp:200-254
+    two-phase loop, cdf.hpp A&S-7.1.26 phi): samples = orders with
+    label +-1 by orderkey parity, features = the order's parts. ONE
+    message-passing iteration (random parity labels make iteration 2
+    produce confident-wrong samples whose variance factor trips the
+    reference's own assert — adpredictor.cpp:243 — under the A&S tail
+    error; the multi-iteration path is pytest-oracled on learnable
+    fixtures). Output: feature posterior (mu, sigma) rows AND
+    per-sample (score, prob) rows — the final probit scoring sweeps
+    phi across the full argument range in both engines."""
+    from powergraph_spark.algorithms.adpredictor import (
+        adpredictor,
+        adpredictor_graph,
+    )
+
+    l = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    # samples need >= 2 features: with a single feature sigma_j/S = 1
+    # and the reference's dropped beta^2 makes the variance factor
+    # reach 0 under the A&S phi approximation (engine raise_error)
+    multi = (
+        l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_n"))
+        .filter("_n >= 2").select("l_orderkey")
+    )
+    samples = l.join(multi, "l_orderkey").select(
+        F.col("l_orderkey").alias("sample"),
+        F.col("l_partkey").alias("feature"),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1)).alias("y"),
+    )
+    g = adpredictor_graph(samples, num_partitions=16)
+    res = adpredictor(g, max_iterations=1)
+    feats = res.feature_weights.selectExpr(
+        "'f' AS kind", "id", "round(mu, 5) AS a", "round(sigma, 5) AS b"
+    )
+    rows = res.sample_scores.selectExpr(
+        "'s' AS kind", "id", "round(score, 5) AS a", "round(prob, 5) AS b"
+    )
+    return feats.unionAll(rows).orderBy("kind", "id")
+
+
+def _adpredictor_sql(iters: int = 1) -> str:
+    """Unrolled DuckDB twin of q_adpredict: per-iteration sample sums
+    (M, S) then the feature posterior update, with phi/v/w staged via
+    lateral column aliases in the engine's exact op order
+    (cdf.hpp:35-48, adpredictor.cpp:128-143)."""
+    probit = (
+        "ABS(tv) / SQRT(2.0) AS z, "
+        "1.0 / (1.0 + 0.3275911 * z) AS tt, "
+        "(((((1.061405429 * tt + -1.453152027) * tt) + 1.421413741) "
+        "* tt + -0.284496736) * tt + 0.254829592) * tt AS poly, "
+        "1.0 - poly * EXP(-z * z) AS yy, "
+        "0.5 * (1.0 + (CASE WHEN tv < 0 THEN -1.0 ELSE 1.0 END) * yy) "
+        "AS ph, "
+        "CASE WHEN ph = 0.0 THEN 1e-5 ELSE ph END AS phf, "
+        "(1.0 / SQRT(2 * 3.14159265)) * EXP(-tv * tv / 2.0) / phf "
+        "AS vv, vv * (vv + tv) AS ww"
+    )
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS s, l_partkey AS f,
+         CASE WHEN l_orderkey % 2 = 0 THEN 1.0 ELSE -1.0 END AS y
+  FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT e0.* FROM e0
+  JOIN (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) >= 2) m ON m.s = e0.s
+)""",
+        "f0 AS MATERIALIZED (SELECT f AS id, CAST(0.0 AS DOUBLE) AS mu, "
+        "CAST(1.0 AS DOUBLE) AS sigma FROM (SELECT DISTINCT f FROM e))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.extend([
+            f"s{t} AS MATERIALIZED (SELECT e.s AS id, ANY_VALUE(e.y) "
+            f"AS y, SUM(f.mu) AS m, SUM(f.sigma) AS sv "
+            f"FROM e JOIN f{p} f ON f.id = e.f GROUP BY e.s)",
+            f"p{t} AS MATERIALIZED (SELECT id, y, m, sv, "
+            f"y * m / SQRT(sv) AS tv, {probit} FROM s{t})",
+            f"c{t} AS (SELECT e.f AS id, "
+            "SUM(p.y / SQRT(p.sv) * p.vv) AS mu_sum, "
+            "SUM(LN(1.0 - f.sigma / p.sv * p.ww)) AS ln_sum "
+            f"FROM e JOIN p{t} p ON p.id = e.s "
+            f"JOIN f{p} f ON f.id = e.f GROUP BY e.f)",
+            f"f{t} AS MATERIALIZED (SELECT f.id, "
+            "f.mu + f.sigma * c.mu_sum AS mu, "
+            "f.sigma * EXP(c.ln_sum) AS sigma "
+            f"FROM f{p} f JOIN c{t} c ON c.id = f.id)",
+        ])
+    parts.extend([
+        f"sf AS (SELECT e.s AS id, ANY_VALUE(e.y) AS y, SUM(f.mu) AS sc, "
+        f"SUM(f.sigma) AS sv FROM e JOIN f{iters} f ON f.id = e.f "
+        "GROUP BY e.s)",
+        f"sp AS (SELECT id, sc, sc * y AS tv, {probit} FROM sf)",
+    ])
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT 'f' AS kind, id, ROUND(mu, 5) AS a, ROUND(sigma, 5) AS b
+FROM f{iters}
+UNION ALL
+SELECT 's' AS kind, id, ROUND(sc, 5) AS a, ROUND(ph, 5) AS b FROM sp
+ORDER BY kind, id
+"""
+    )
+
+
 # shared ratings CTE for the CF k=1 oracles (same as als_k1)
 _SQL_RATINGS = """
 r AS MATERIALIZED (
@@ -1693,7 +1802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_census_totals": q_directed_census_totals,
         "coloring_conflicts": q_coloring_conflicts,
         "coloring_degree": q_coloring_degree,
-        "coloring_dsatur": q_coloring_dsatur,
         "percolation": q_percolation,
         "laplacian": q_laplacian,
         "eigen3": q_eigen3,
@@ -1718,7 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wals_k1": q_wals_k1,
         "biassgd_k1": q_biassgd_k1,
         "jacobi_x": q_jacobi,
+        "adpredict": q_adpredict,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "coloring_dsatur": q_coloring_dsatur,
         "simhash_dups": q_simhash_dups,
         "dedup_exact": q_dedup_exact,
         "select_vset": q_select_vset,
@@ -2761,6 +2871,7 @@ x3 AS MATERIALIZED (
 )
 SELECT id, ROUND(x, 5) AS x FROM x3 ORDER BY id
 """,
+        "adpredict": _adpredictor_sql(),
         "recommend": """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating

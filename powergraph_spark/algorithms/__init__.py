@@ -1,4 +1,9 @@
 from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse, sgd
+from .adpredictor import (
+    AdPredictorResult,
+    adpredictor,
+    adpredictor_graph,
+)
 from .approx_diameter import approx_diameter
 from .biassgd import BiasSGDResult, biassgd, biassgd_predict
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
@@ -82,6 +87,9 @@ __all__ = [
     "BiasSGDResult",
     "biassgd",
     "biassgd_predict",
+    "AdPredictorResult",
+    "adpredictor",
+    "adpredictor_graph",
     "SpectralResult",
     "spectral_clustering",
     "spectral_embedding",
