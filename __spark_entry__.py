@@ -915,6 +915,34 @@ ORDER BY kind, id
     )
 
 
+def q_sparse_als_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-ALS (sparse_als.cpp:317-347 CoSaMP apply), k=1
+    instantiation: CoSaMP at D=1 collapses exactly to
+    |Xy| / (XtX + lambda) (the reference's fabs quirk makes the
+    sparse side's factor a magnitude), the item side keeps the
+    flat-lambda solve — both SQL-expressible, so the SAME generic
+    solver-hook kernel that runs k=20 is hash-checked against a
+    DuckDB unroll of 2 alternations."""
+    from powergraph_spark.algorithms.als import ratings_graph
+    from powergraph_spark.algorithms.sparse_als import sparse_als
+
+    g = ratings_graph(_ratings(spark, sf_dir), num_partitions=16)
+    res = sparse_als(
+        g, k=1, lam=0.01, mode="user", tolerance=1e-15,
+        max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    out = res.user_factors.selectExpr(
+        "'u' AS kind", "id", "round(factor[0], 5) AS f"
+    ).unionAll(
+        res.item_factors.selectExpr(
+            "'i' AS kind", "id", "round(factor[0], 5) AS f"
+        )
+    )
+    return out.orderBy("kind", "id")
+
+
 # shared ratings CTE for the CF k=1 oracles (same as als_k1)
 _SQL_RATINGS = """
 r AS MATERIALIZED (
@@ -1815,7 +1843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
-        "jaccard": q_jaccard,
         "embedding_dups": q_embedding_dups,
         # --- round-5 toolkit queries are inserted here (inside the window)
         "lda_k2": q_lda_k2,
@@ -1827,7 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "biassgd_k1": q_biassgd_k1,
         "jacobi_x": q_jacobi,
         "adpredict": q_adpredict,
+        "sparse_als_k1": q_sparse_als_k1,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "jaccard": q_jaccard,
         "coloring_dsatur": q_coloring_dsatur,
         "simhash_dups": q_simhash_dups,
         "dedup_exact": q_dedup_exact,
@@ -2872,6 +2901,47 @@ x3 AS MATERIALIZED (
 SELECT id, ROUND(x, 5) AS x FROM x3 ORDER BY id
 """,
         "adpredict": _adpredictor_sql(),
+        # sparse-ALS k=1: user side |sum(f*r)| / (sum(f^2) + 0.01)
+        # (CoSaMP D=1 + the fabs quirk), item side flat-lambda solve
+        "sparse_als_k1": """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+u1 AS MATERIALIZED (
+  SELECT r.u AS id,
+         ABS(SUM(i0.f * r.rating)
+             / (SUM(i0.f * i0.f) + CAST(0.01 AS DOUBLE))) AS f
+  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
+),
+i1 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u1.f * r.rating)
+         / (SUM(u1.f * u1.f) + CAST(0.01 AS DOUBLE)) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+u2 AS MATERIALIZED (
+  SELECT r.u AS id,
+         ABS(SUM(i1.f * r.rating)
+             / (SUM(i1.f * i1.f) + CAST(0.01 AS DOUBLE))) AS f
+  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
+),
+i2 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u2.f * r.rating)
+         / (SUM(u2.f * u2.f) + CAST(0.01 AS DOUBLE)) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+)
+SELECT 'u' AS kind, id, ROUND(f, 5) AS f FROM u2
+UNION ALL
+SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
+ORDER BY kind, id
+""",
         "recommend": """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating

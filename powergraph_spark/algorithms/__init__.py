@@ -23,6 +23,7 @@ from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .nmf import nmf
 from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
+from .sparse_als import cosamp, sparse_als
 from .spectral import (
     SpectralResult,
     normalized_adjacency,
@@ -90,6 +91,8 @@ __all__ = [
     "AdPredictorResult",
     "adpredictor",
     "adpredictor_graph",
+    "sparse_als",
+    "cosamp",
     "SpectralResult",
     "spectral_clustering",
     "spectral_embedding",

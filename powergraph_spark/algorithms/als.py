@@ -106,6 +106,7 @@ def _solve_side(
     regnormal: bool,
     P: int,
     weighted: bool = False,
+    solver=None,
 ) -> DataFrame:
     """One ALS half-iteration: (id, factor) for every vertex on the
     updating side that has >= 1 TRAIN rating.
@@ -120,6 +121,10 @@ def _solve_side(
     ``weighted``: the WALS gather (wals.cpp:224-231) — each edge
     contributes w * f fᵀ to XtX and w * f * obs to Xy; the weight
     column must be present on ``edges``.
+    ``solver``: optional replacement for the default regularized
+    normal-equation apply — called as solver(ids, xtx, xy, n) on the
+    RAW per-vertex sums (no regularization applied) and must return a
+    (len(ids), k) factor array. Used by sparse_als's CoSaMP apply.
     """
     import numpy as np
     import pandas as pd
@@ -149,9 +154,12 @@ def _solve_side(
         def solve(ids, xtx, xy, n):
             if len(ids) == 0:
                 return None
-            reg = lam * n if regnormal else np.full(len(ids), lam)
-            A = xtx + reg[:, None, None] * np.eye(k)[None, :, :]
-            w = np.linalg.solve(A, xy[..., None])[..., 0]
+            if solver is not None:
+                w = solver(ids, xtx, xy, n)
+            else:
+                reg = lam * n if regnormal else np.full(len(ids), lam)
+                A = xtx + reg[:, None, None] * np.eye(k)[None, :, :]
+                w = np.linalg.solve(A, xy[..., None])[..., 0]
             return pd.DataFrame(
                 {"id": ids, "factor": [row for row in w]}
             )
@@ -218,6 +226,8 @@ def als(
     init_expr: str | None = None,
     with_rmse: bool = True,
     weighted: bool = False,
+    user_solver=None,
+    item_solver=None,
     verbose: bool = False,
 ) -> ALSResult:
     """Run ALS on a ratings_graph. ``max_iterations`` counts FULL
@@ -232,6 +242,9 @@ def als(
     via run_gas edge_aggregators (als.cpp error_aggregator :458-486).
     ``weighted``: weighted-ALS gather (wals.cpp:224-231) — requires a
     ``weight`` edge column (ratings_graph weight_col); see wals().
+    ``user_solver``/``item_solver``: per-side apply overrides passed
+    through to the segmented kernel (see _solve_side ``solver``);
+    sparse_als builds its CoSaMP apply on these.
     """
     P = graph.num_partitions
     ecols = ["src", "dst", "rating", "role"] + (
@@ -258,6 +271,7 @@ def als(
         solved = _solve_side(
             edges, others, side, other, k, lam, regnormal, P,
             weighted=weighted,
+            solver=user_solver if user_turn else item_solver,
         )
         new_state = (
             state.join(solved.withColumnRenamed("factor", "_nf")
