@@ -282,6 +282,34 @@ def q_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.filter(F.col("user") < 50).orderBy("user", "rank")
 
 
+def q_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed recommend (recommend_topk_ann) at FULL probe
+    (nprobe == n_cells): the routing path — centroid bucketing, probe
+    explosion, cell join, dedup, window — must reproduce the exact
+    cross-product recommend bit-for-bit, so it shares the `recommend`
+    oracle. The scale win (nprobe < n_cells) is recall-tested in
+    pytest (test_recommend_ann_partial_probe_recall)."""
+    from powergraph_spark.algorithms.als import (
+        als,
+        ratings_graph,
+        recommend_topk_ann,
+    )
+
+    ratings = _ratings(spark, sf_dir)
+    g = ratings_graph(ratings, num_partitions=16)
+    res = als(
+        g, k=1, lam=0.1, regnormal=True, tolerance=1e-15,
+        max_iterations=2,
+        init_expr="array(CAST(abs(id) % 97 + 1 AS DOUBLE) / 98.0)",
+        with_rmse=False,
+    )
+    top = recommend_topk_ann(
+        res.user_factors, res.item_factors, topk=3, n_cells=4,
+        nprobe=4, exclude=ratings.select("user", "item"),
+    )
+    return top.filter(F.col("user") < 50).orderBy("user", "rank")
+
+
 KMEANS_K = 4
 KMEANS_ROUNDS = 3
 
@@ -1824,7 +1852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "closeness": q_closeness,
         "betweenness": q_betweenness,
-        "prestige": q_prestige,
         "dijkstra_tree": q_dijkstra_tree,
         "directed_census": q_directed_census,
         "directed_census_totals": q_directed_census_totals,
@@ -1855,7 +1882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jacobi_x": q_jacobi,
         "adpredict": q_adpredict,
         "sparse_als_k1": q_sparse_als_k1,
+        "recommend_ann": q_recommend_ann,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        "prestige": q_prestige,
         "jaccard": q_jaccard,
         "coloring_dsatur": q_coloring_dsatur,
         "simhash_dups": q_simhash_dups,
@@ -2574,6 +2603,58 @@ FROM planted ORDER BY doc_id
 """
 
 
+_RECOMMEND_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+i0 AS MATERIALIZED (
+  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
+  FROM (SELECT DISTINCT i FROM r)
+),
+u1 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i0.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i0.f * i0.f)) AS f
+  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
+),
+i1 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u1.f * u1.f)) AS f
+  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
+),
+u2 AS MATERIALIZED (
+  SELECT r.u AS id,
+         SUM(i1.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i1.f * i1.f)) AS f
+  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
+),
+i2 AS MATERIALIZED (
+  SELECT r.i AS id,
+         SUM(u2.f * r.rating)
+         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u2.f * u2.f)) AS f
+  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
+),
+scored AS (
+  SELECT u2.id AS "user", i2.id AS item, u2.f * i2.f AS score
+  FROM u2 CROSS JOIN i2
+  WHERE u2.id < 50
+    AND NOT EXISTS (SELECT 1 FROM r WHERE r.u = u2.id AND r.i = i2.id)
+),
+ranked AS (
+  SELECT "user", item, score,
+         ROW_NUMBER() OVER (PARTITION BY "user"
+                            ORDER BY score DESC, item ASC) AS rank
+  FROM scored
+)
+SELECT "user", item, rank, ROUND(score, 5) AS score
+FROM ranked WHERE rank <= 3
+ORDER BY "user", rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = _SQL_EDGES
     out = {
@@ -2942,56 +3023,9 @@ UNION ALL
 SELECT 'i' AS kind, id, ROUND(f, 5) AS f FROM i2
 ORDER BY kind, id
 """,
-        "recommend": """
-WITH r AS MATERIALIZED (
-  SELECT o_custkey AS u, l_partkey AS i, AVG(l_quantity) AS rating
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1, 2
-),
-i0 AS MATERIALIZED (
-  SELECT i AS id, CAST((i + 2) % 97 + 1 AS DOUBLE) / 98.0 AS f
-  FROM (SELECT DISTINCT i FROM r)
-),
-u1 AS MATERIALIZED (
-  SELECT r.u AS id,
-         SUM(i0.f * r.rating)
-         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i0.f * i0.f)) AS f
-  FROM r JOIN i0 ON i0.id = r.i GROUP BY r.u
-),
-i1 AS MATERIALIZED (
-  SELECT r.i AS id,
-         SUM(u1.f * r.rating)
-         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u1.f * u1.f)) AS f
-  FROM r JOIN u1 ON u1.id = r.u GROUP BY r.i
-),
-u2 AS MATERIALIZED (
-  SELECT r.u AS id,
-         SUM(i1.f * r.rating)
-         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(i1.f * i1.f)) AS f
-  FROM r JOIN i1 ON i1.id = r.i GROUP BY r.u
-),
-i2 AS MATERIALIZED (
-  SELECT r.i AS id,
-         SUM(u2.f * r.rating)
-         / (CAST(0.1 AS DOUBLE) * COUNT(*) + SUM(u2.f * u2.f)) AS f
-  FROM r JOIN u2 ON u2.id = r.u GROUP BY r.i
-),
-scored AS (
-  SELECT u2.id AS "user", i2.id AS item, u2.f * i2.f AS score
-  FROM u2 CROSS JOIN i2
-  WHERE u2.id < 50
-    AND NOT EXISTS (SELECT 1 FROM r WHERE r.u = u2.id AND r.i = i2.id)
-),
-ranked AS (
-  SELECT "user", item, score,
-         ROW_NUMBER() OVER (PARTITION BY "user"
-                            ORDER BY score DESC, item ASC) AS rank
-  FROM scored
-)
-SELECT "user", item, rank, ROUND(score, 5) AS score
-FROM ranked WHERE rank <= 3
-ORDER BY "user", rank
-""",
+        "recommend": _RECOMMEND_SQL,
+        # full-probe IVF == exact recommend (engine-pinned identity)
+        "recommend_ann": _RECOMMEND_SQL,
         # warm-start == cold differential, encoded in the contract: the
         # Spark side computes round(max|warm - cold|, 5); the oracle
         # pins it to 0.0 (both runs stop at unsent-residual <= 1e-8, so

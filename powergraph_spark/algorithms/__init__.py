@@ -1,4 +1,4 @@
-from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, rmse as als_rmse, sgd
+from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, recommend_topk_ann, rmse as als_rmse, sgd
 from .adpredictor import (
     AdPredictorResult,
     adpredictor,
@@ -46,6 +46,7 @@ __all__ = [
     "kmeans",
     "cluster_sizes",
     "recommend_topk",
+    "recommend_topk_ann",
     "sgd",
     "svd",
     "SVDResult",

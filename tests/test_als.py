@@ -244,3 +244,41 @@ def test_als_parallelism_invariant(spark, als_setup):
     fb = sorted((r["id"], tuple(r["factor"]))
                 for r in b.user_factors.collect())
     assert fa == fb
+
+
+def test_recommend_ann_full_probe_equals_exact(spark, als_setup):
+    """recommend_topk_ann with nprobe == n_cells must reproduce the
+    exact recommend_topk bit-for-bit (same score expression and
+    tie-break) — this equality is what the driver oracle pins."""
+    from powergraph_spark.algorithms.als import recommend_topk_ann
+
+    rows, df, g = als_setup
+    res = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=2,
+              with_rmse=False)
+    exclude = df.select("user", "item")
+    exact = recommend_topk(res.user_factors, res.item_factors, topk=3,
+                           exclude=exclude)
+    ann = recommend_topk_ann(res.user_factors, res.item_factors,
+                             topk=3, n_cells=4, nprobe=4,
+                             exclude=exclude)
+    ex = sorted(map(tuple, exact.collect()))
+    an = sorted(map(tuple, ann.collect()))
+    assert ex == an
+
+
+def test_recommend_ann_partial_probe_recall(spark, als_setup):
+    """Partial probing returns a per-user top-k drawn from the probed
+    cells only — rank-1 recall on the fixture should stay useful."""
+    from powergraph_spark.algorithms.als import recommend_topk_ann
+
+    rows, df, g = als_setup
+    res = als(g, k=K, lam=LAM, tolerance=1e-12, max_iterations=2,
+              with_rmse=False)
+    exact = recommend_topk(res.user_factors, res.item_factors, topk=1)
+    ann = recommend_topk_ann(res.user_factors, res.item_factors,
+                             topk=1, n_cells=4, nprobe=2)
+    ex = {r["user"]: r["item"] for r in exact.collect()}
+    an = {r["user"]: r["item"] for r in ann.collect()}
+    hits = sum(1 for u in ex if an.get(u) == ex[u])
+    assert len(an) == len(ex)          # every user still gets results
+    assert hits / len(ex) >= 0.5       # direction probing is useful
