@@ -1,0 +1,89 @@
+"""Cluster entry point: graph analytics over an edge list — the
+spark-submit twin of the reference's graph_analytics binaries
+(toolkits/graph_analytics/{connected_component,sssp,kcore,
+undirected_triangle_count,simple_coloring,approximate_diameter,
+pagerank}.cpp each ship as a CLI over an edge file; this one job
+exposes them behind --algorithm over any (src, dst) parquet or the
+repo's text formats via powergraph_spark.io.load).
+
+Usage:
+    spark-submit --py-files powergraph_spark.zip jobs/graph_job.py \
+        --edges <parquet with (src, dst)> --output <dir> \
+        --algorithm cc [--partitions 4096] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", required=True,
+                    help="parquet with (src, dst) columns")
+    ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--algorithm", default="cc",
+        choices=["pagerank", "cc", "sssp", "triangles", "kcore",
+                 "coloring", "diameter", "labelprop"],
+    )
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iterations", type=int, default=200)
+    ap.add_argument("--source", type=int, default=0,
+                    help="sssp source vertex")
+    ap.add_argument("--kcore-k", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from powergraph_spark.algorithms import (
+        approx_diameter,
+        coloring,
+        connected_components,
+        kcore_vertices,
+        label_propagation,
+        pagerank,
+        sssp,
+        triangle_count,
+    )
+    from powergraph_spark.graph import Graph
+
+    spark = SparkSession.builder.appName(
+        f"powergraph-{args.algorithm}"
+    ).getOrCreate()
+    g = Graph.from_edges(
+        spark.read.parquet(args.edges).select("src", "dst"),
+        num_partitions=args.partitions,
+    )
+
+    a = args.algorithm
+    if a == "pagerank":
+        out = pagerank(g, tol=args.tol,
+                       max_iterations=args.max_iterations,
+                       verbose=True).state.select("id", "rank")
+    elif a == "cc":
+        out = connected_components(g).state.select("id", "component")
+    elif a == "sssp":
+        out = sssp(g, source=args.source).state.select("id", "dist")
+    elif a == "triangles":
+        out, total = triangle_count(g)
+        print(f"total_triangles={total}")
+    elif a == "kcore":
+        out = kcore_vertices(g, k=args.kcore_k)
+    elif a == "coloring":
+        out = coloring(g)
+    elif a == "diameter":
+        hops, _history = approx_diameter(g)
+        out = spark.createDataFrame([(int(hops),)], "diameter long")
+    else:  # labelprop
+        out = label_propagation(
+            g, max_iterations=args.max_iterations
+        ).state.select("id", "label")
+
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"algorithm={a} wrote {args.output} rows={out.count()}")
+
+
+if __name__ == "__main__":
+    main()
