@@ -1448,6 +1448,30 @@ def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SIR_P = 0.25       # infection_chance (exact binary fraction: literal-
+SIR_R = 0.25       # recovery_chance   parity-safe across engines)
+SIR_INIT = 0.125   # initial infection probability
+SIR_ITERS = 3
+SIR_SEED = "sir7"
+
+
+def q_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIR epidemic cascade (apps/cascades/cascades.cpp): determinized
+    md5-draw replay, 3 supersteps over the co-occurrence graph."""
+    from powergraph_spark.algorithms import cascades
+
+    g = _co_graph(spark, sf_dir)
+    res = cascades(
+        g,
+        SIR_P,
+        SIR_R,
+        init_infected_prob=SIR_INIT,
+        max_iterations=SIR_ITERS,
+        seed=SIR_SEED,
+    )
+    return res.state.select("id", "status").orderBy("id")
+
+
 def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-cut graph Laplacian COO entries
     (graph_laplacian.cpp:95-131,182-202)."""
@@ -1865,7 +1889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "exact_dup_groups": q_exact_dup_groups,
         "text_quality_full": q_text_quality_full,
-        "lang_histogram": q_lang_histogram,
         "knn_cosine": q_knn_cosine,
         "ivf_topk": q_ivf_topk,
         "minhash_candidates": q_minhash_candidates,
@@ -1883,7 +1906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpredict": q_adpredict,
         "sparse_als_k1": q_sparse_als_k1,
         "recommend_ann": q_recommend_ann,
+        "cascades": q_cascades,
         # --- rotated tail: multi-round driver-green + pytest-oracle-green
+        # (lang_histogram rotated out r5 to make window room for cascades)
+        "lang_histogram": q_lang_histogram,
         "prestige": q_prestige,
         "jaccard": q_jaccard,
         "coloring_dsatur": q_coloring_dsatur,
@@ -2311,6 +2337,61 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def _sir_sql() -> str:
+    """Mirror of algorithms.cascades: md5-uniform SIR replay over the
+    co-occurrence graph, unrolled SIR_ITERS supersteps. Identical
+    literals and operation order as the engine (including the
+    1 - exp(k * ln(q)) infection threshold) so every double compares
+    bit for bit."""
+    from powergraph_spark.algorithms.cascades import _dlit
+
+    def u(h: str) -> str:
+        val = " + ".join(
+            f"(strpos('{_HEX}', substr({h}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        return f"(({val})::DOUBLE / {_dlit(float(16 ** 8))})"
+
+    qlit = _dlit(1.0 - SIR_P)
+    rlit = _dlit(SIR_R)
+    ctes = [
+        "s0pre AS MATERIALIZED (SELECT id,"
+        f" md5('{SIR_SEED}:' || 'init:' || id::VARCHAR) AS h FROM v)",
+        f"s0 AS MATERIALIZED (SELECT id, CASE WHEN {u('h')} <"
+        f" {_dlit(SIR_INIT)} THEN 'I' ELSE 'S' END AS status FROM s0pre)",
+    ]
+    for t in range(1, SIR_ITERS + 1):
+        ctes.append(
+            f"inf{t} AS (SELECT id FROM s{t - 1} WHERE status = 'I')"
+        )
+        ctes.append(
+            f"k{t} AS (SELECT und.dst AS id, COUNT(*) AS k FROM und"
+            f" JOIN inf{t} ON und.src = inf{t}.id GROUP BY und.dst)"
+        )
+        ctes.append(
+            f"s{t}pre AS MATERIALIZED (SELECT s.id, s.status,"
+            f" COALESCE(k.k, 0) AS kk,"
+            f" md5('{SIR_SEED}:' || '{t}:r:' || s.id::VARCHAR) AS hr,"
+            f" md5('{SIR_SEED}:' || '{t}:i:' || s.id::VARCHAR) AS hi"
+            f" FROM s{t - 1} s LEFT JOIN k{t} k ON k.id = s.id)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN status = 'R' THEN 'R'"
+            f" WHEN status = 'I' THEN (CASE WHEN {u('hr')} < {rlit}"
+            f" THEN 'R' ELSE 'I' END)"
+            f" WHEN kk > 0 AND {u('hi')} <"
+            f" (1.0E0 - exp(CAST(kk AS DOUBLE) * ln({qlit})))"
+            f" THEN 'I' ELSE 'S' END AS status FROM s{t}pre)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {_SQL_EDGES_MAT},\n{body}\n"
+        f"SELECT id, status FROM s{SIR_ITERS} ORDER BY id"
+    )
 
 
 def _percolation_sql(prob: float, seed: int) -> str:
@@ -3278,6 +3359,7 @@ FROM toks ORDER BY doc_id
         "lang_histogram": _lang_sql(),
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),
         "percolation": _percolation_sql(PERC_PROB, PERC_SEED),
+        "cascades": _sir_sql(),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

@@ -6,6 +6,7 @@ from .adpredictor import (
 )
 from .approx_diameter import approx_diameter
 from .biassgd import BiasSGDResult, biassgd, biassgd_predict
+from .cascades import cascades, seed_status, sir_counts
 from .centrality import betweenness, closeness, multi_source_bfs, prestige
 from .coloring import coloring, count_colors, count_conflicts
 from .connected_components import component_sizes, connected_components
@@ -105,4 +106,7 @@ __all__ = [
     "betweenness",
     "directed_triangle_counts",
     "directed_triangle_totals",
+    "cascades",
+    "seed_status",
+    "sir_counts",
 ]
