@@ -181,6 +181,38 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMPL_PCT = 0.001
+IMPL_M = 400
+IMPL_N = 150
+IMPL_VALUE = 2.5
+IMPL_SEED = "imp5"
+
+
+def q_implicit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback augmentation (implicit.hpp:40-87): the rating
+    table unioned with floor(pct*M*N) md5-deterministic random
+    (user, item) observations at a fixed value."""
+    from powergraph_spark.algorithms import add_implicit_ratings
+
+    r = _ratings(spark, sf_dir).selectExpr(
+        "user AS usr", "item AS itm", "rating"
+    )
+    aug = add_implicit_ratings(
+        r,
+        IMPL_M,
+        IMPL_N,
+        IMPL_PCT,
+        value=IMPL_VALUE,
+        seed=IMPL_SEED,
+        user_col="usr",
+        item_col="itm",
+        rating_col="rating",
+    )
+    return aug.selectExpr(
+        "usr", "itm", "round(rating, 5) AS rating"
+    ).orderBy("usr", "itm", "rating")
+
+
 def q_als_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS on the GAS runtime (als.cpp:296-330), k=1 instantiation —
     the scalar normal equation w = sum(f*r) / (lambda*n + sum(f^2)) IS
@@ -1926,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "implicit_edges": q_implicit_edges,
     }
 
 
@@ -2336,6 +2369,38 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _implicit_sql() -> str:
+    """Mirror of als.add_implicit_ratings over the customer x part
+    rating table: generate_series replays the md5 draw stream."""
+    toadd = int(IMPL_PCT * IMPL_M * IMPL_N)
+
+    def u(tag: str) -> str:
+        h = f"md5('{IMPL_SEED}:{tag}:' || j::VARCHAR)"
+        val = " + ".join(
+            f"(strpos('{_HEX}', substr({h}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        return f"(({val})::DOUBLE / CAST(4294967296 AS DOUBLE))"
+
+    return f"""
+WITH r AS (
+  SELECT o_custkey AS usr, l_partkey AS itm, AVG(l_quantity) AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+gen AS (
+  SELECT CAST(floor({u('u')} * {IMPL_M}) AS BIGINT) AS usr,
+         CAST(floor({u('i')} * {IMPL_N}) AS BIGINT) AS itm,
+         CAST({IMPL_VALUE!r} AS DOUBLE) AS rating
+  FROM generate_series(0, {toadd - 1}) t(j)
+)
+SELECT usr, itm, ROUND(rating, 5) AS rating
+FROM (SELECT * FROM r UNION ALL SELECT * FROM gen)
+ORDER BY usr, itm, rating
 """
 
 
@@ -3360,6 +3425,7 @@ FROM toks ORDER BY doc_id
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),
         "percolation": _percolation_sql(PERC_PROB, PERC_SEED),
         "cascades": _sir_sql(),
+        "implicit_edges": _implicit_sql(),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

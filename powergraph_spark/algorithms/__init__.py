@@ -1,4 +1,4 @@
-from .als import ALSResult, als, predict as als_predict, ratings_graph, recommend_topk, recommend_topk_ann, rmse as als_rmse, sgd
+from .als import ALSResult, add_implicit_ratings, als, predict as als_predict, ratings_graph, recommend_topk, recommend_topk_ann, rmse as als_rmse, sgd
 from .adpredictor import (
     AdPredictorResult,
     adpredictor,
@@ -109,4 +109,5 @@ __all__ = [
     "cascades",
     "seed_status",
     "sir_counts",
+    "add_implicit_ratings",
 ]

@@ -78,6 +78,70 @@ def ratings_graph(
                             num_partitions=num_partitions)
 
 
+def add_implicit_ratings(
+    ratings: DataFrame,
+    max_user: int,
+    max_item: int,
+    percentage: float,
+    value: float = 0.0,
+    weight: float | None = None,
+    seed: str = "implicit",
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Implicit-feedback augmentation (implicit.hpp:40-87): append
+    floor(percentage * max_user * max_item) uniformly random
+    (user, item) observations carrying the fixed rating ``value`` —
+    and, mirroring add_implicit_edges4's weighted variant for wals(),
+    a fixed ``weight`` when requested. The reference draws with
+    ::randi seeded from wall-clock; here the j-th added pair is
+    user = floor(u_j * max_user), item = floor(u'_j * max_item) with
+    the engine's md5-deterministic uniforms, so the augmentation is
+    reproducible at any parallelism and replayable in ANSI SQL.
+
+    Scale shape: generation is ONE distributed ``spark.range`` scan
+    projected through JVM expressions — no driver loop, no shuffle,
+    no Python. Collided pairs stay as duplicate rows exactly like the
+    reference's repeated add_edge calls (ratings_graph's ingress then
+    dedups exact (user, item) duplicates at finalize, per the repo's
+    finalize contract). Returns the projected
+    (user, item, rating[, weight]) union."""
+    toadd = int(percentage * max_user * max_item)
+    if toadd < 1:
+        raise ValueError(
+            "implicitratingpercentage adds no edges "
+            "(assert toadd >= 1, implicit.hpp:55)"
+        )
+    spark = ratings.sparkSession
+
+    def u(tag: str) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('{seed}:{tag}:', id)),"
+            " 1, 8), 16, 10) AS DOUBLE) / CAST(4294967296 AS DOUBLE))"
+        )
+
+    gen_cols = [
+        f"CAST(floor({u('u')} * {int(max_user)}) AS LONG) AS {user_col}",
+        f"CAST(floor({u('i')} * {int(max_item)}) AS LONG) AS {item_col}",
+        f"CAST({float(value)!r} AS DOUBLE) AS {rating_col}",
+    ]
+    base_cols = [user_col, item_col, rating_col]
+    if weight is not None or weight_col is not None:
+        wc = weight_col or "weight"
+        gen_cols.append(
+            f"CAST({float(1.0 if weight is None else weight)!r} AS DOUBLE)"
+            f" AS {wc}"
+        )
+        base_cols.append(
+            wc if weight_col is not None and weight_col in ratings.columns
+            else f"CAST(1.0 AS DOUBLE) AS {wc}"
+        )
+    gen = spark.range(toadd).selectExpr(*gen_cols)
+    return ratings.selectExpr(*base_cols).unionAll(gen)
+
+
 def _hash_init_expr(k: int) -> str:
     """Deterministic, parallelism-independent stand-in for the
     reference's factor.setRandom() (als.cpp:101, uniform [-1,1]):
