@@ -1589,6 +1589,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup lines/paragraphs, top
+    2/3-gram coverage, repeated 5-gram chars) — all JVM expressions."""
+    from powergraph_spark.datapipe import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs).drop("text").orderBy("doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length/alpha/punct bands)."""
     docs = _load(spark, sf_dir, "documents")
@@ -1959,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "implicit_edges": q_implicit_edges,
+        "repetition": q_repetition,
     }
 
 
@@ -2369,6 +2379,95 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _repetition_sql() -> str:
+    """Mirror of datapipe.text.repetition_stats: identical segment /
+    token semantics (space-only trim, Spark-split empty-field rules via
+    _SQL_TOKS) and identical arithmetic order, rounded 5dp."""
+    def gcol(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN"
+            f" list_transform(generate_series(1, len(toks) - {n - 1}),"
+            f" i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+            " ELSE []::VARCHAR[] END"
+        )
+
+    def cnt_cte(tag: str, src: str) -> str:
+        return (
+            f"c{tag} AS (SELECT doc_id, g, COUNT(*) AS cnt FROM"
+            f" (SELECT doc_id, unnest({src}) AS g FROM grams)"
+            " GROUP BY 1, 2)"
+        )
+
+    def top_cte(tag: str) -> str:
+        return (
+            f"t{tag} AS (SELECT doc_id, cnt * length(g) AS cover FROM"
+            f" (SELECT doc_id, g, cnt, ROW_NUMBER() OVER"
+            " (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn"
+            f" FROM c{tag}) WHERE rn = 1)"
+        )
+
+    def topfrac(tag: str, out: str) -> str:
+        return (
+            f"ROUND(CASE WHEN b.chars > 0 AND t{tag}.cover IS NOT NULL"
+            f" THEN LEAST(CAST(t{tag}.cover AS DOUBLE) / b.chars,"
+            f" CAST(1.0 AS DOUBLE)) ELSE 0.0 END, 5) AS {out}"
+        )
+
+    segs = (
+        "list_filter(list_transform(string_split{split}, x -> trim(x)),"
+        " x -> x <> '')"
+    )
+    lines = segs.format(split="(text, chr(10))")
+    paras = segs.format(split="_regex(text, '\\n{2,}')")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, length(text) AS chars,
+         {lines} AS lines,
+         {paras} AS paras,
+         list_transform({_SQL_TOKS}, t -> lower(t)) AS toks
+  FROM documents
+),
+lineagg AS (
+  SELECT doc_id,
+         len(lines) AS nl, len(list_distinct(lines)) AS dl,
+         COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS lt,
+         COALESCE(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS ld,
+         len(paras) AS np, len(list_distinct(paras)) AS dp
+  FROM base
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, {gcol(2)} AS g2, {gcol(3)} AS g3, {gcol(5)} AS g5
+  FROM base
+),
+{cnt_cte('2', 'g2')},
+{top_cte('2')},
+{cnt_cte('3', 'g3')},
+{top_cte('3')},
+{cnt_cte('5', 'g5')},
+r5 AS (SELECT doc_id, SUM((cnt - 1) * length(g)) AS dup
+       FROM c5 GROUP BY doc_id)
+SELECT b.doc_id,
+  ROUND(CASE WHEN la.nl > 0 THEN CAST(la.nl - la.dl AS DOUBLE) / la.nl
+        ELSE 0.0 END, 5) AS dup_line_frac,
+  ROUND(CASE WHEN la.np > 0 THEN CAST(la.np - la.dp AS DOUBLE) / la.np
+        ELSE 0.0 END, 5) AS dup_para_frac,
+  ROUND(CASE WHEN la.lt > 0 THEN CAST(la.lt - la.ld AS DOUBLE) / la.lt
+        ELSE 0.0 END, 5) AS dup_line_char_frac,
+  {topfrac('2', 'top_2gram_frac')},
+  {topfrac('3', 'top_3gram_frac')},
+  ROUND(CASE WHEN b.chars > 0 AND COALESCE(r5.dup, 0) > 0
+        THEN LEAST(CAST(r5.dup AS DOUBLE) / b.chars, CAST(1.0 AS DOUBLE))
+        ELSE 0.0 END, 5) AS rep_5gram_frac
+FROM base b
+JOIN lineagg la USING (doc_id)
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN r5 USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -3426,6 +3525,7 @@ FROM toks ORDER BY doc_id
         "percolation": _percolation_sql(PERC_PROB, PERC_SEED),
         "cascades": _sir_sql(),
         "implicit_edges": _implicit_sql(),
+        "repetition": _repetition_sql(),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

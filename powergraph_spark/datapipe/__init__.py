@@ -26,10 +26,17 @@ from .similarity import (
 from .text import (
     bpe_token_count,
     doc_fingerprint,
+    dup_line_char_fraction,
+    dup_line_fraction,
+    dup_paragraph_fraction,
     lang_id,
     quality_score,
+    repeated_ngram_char_fraction,
+    repetition_filter,
+    repetition_stats,
     text_stats,
     token_count,
+    top_ngram_char_fraction,
 )
 
 __all__ = [
@@ -39,6 +46,9 @@ __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dups", "cosine",
     "token_count", "bpe_token_count", "quality_score", "lang_id",
     "doc_fingerprint", "text_stats",
+    "dup_line_fraction", "dup_paragraph_fraction", "dup_line_char_fraction",
+    "top_ngram_char_fraction", "repeated_ngram_char_fraction",
+    "repetition_stats", "repetition_filter",
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
     "contamination", "decontaminate",
 ]

@@ -137,6 +137,141 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------- repetition signals
+# Gopher-style repetition quality rules (Rae et al. 2021, public):
+# documents dominated by repeated lines / paragraphs / n-grams are
+# low-quality boilerplate. All pure JVM expressions (no Python in the
+# hot path); exact definitions below are this engine's (documented)
+# instantiation of the published ideas, mirrored 1:1 by the SQL oracle.
+
+
+def _nonempty_segments(col: Column, sep_regex: str) -> Column:
+    segs = F.transform(F.split(col, sep_regex), lambda x: F.trim(x))
+    return F.filter(segs, lambda x: x != "")
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty trimmed lines that are repeats of an
+    earlier line: 1 - |distinct| / |lines| (0 for line-less text)."""
+    ls = _nonempty_segments(col, "\n")
+    n = F.size(ls)
+    d = F.size(F.array_distinct(ls))
+    return F.when(n > 0, (n - d).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def dup_paragraph_fraction(col: Column) -> Column:
+    """Same rule over blank-line-separated paragraphs."""
+    ps = _nonempty_segments(col, "\n{2,}")
+    n = F.size(ps)
+    d = F.size(F.array_distinct(ps))
+    return F.when(n > 0, (n - d).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of line characters occupied by repeat occurrences:
+    (total line chars - distinct line chars) / total line chars."""
+    ls = _nonempty_segments(col, "\n")
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
+    dist = F.aggregate(F.array_distinct(ls), zero, lambda a, x: a + F.length(x))
+    return F.when(
+        total > 0, (total - dist).cast("double") / total
+    ).otherwise(F.lit(0.0))
+
+
+def _word_ngrams(col: Column, n: int) -> Column:
+    """Lowercased word n-grams (space-joined); [] when < n tokens."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
+    """Characters covered by the single most frequent word n-gram
+    (count * gram length / text chars, clamped to 1; overlapping
+    occurrences all count). Ties break to the lexicographically
+    smallest gram — deterministic and SQL-replayable."""
+    sg = F.array_sort(_word_ngrams(col, n))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("bg"),
+        F.lit(0).cast("long").alias("bc"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["bc"], x).otherwise(acc["bg"]).alias("bg"),
+            F.greatest(run, acc["bc"]).alias("bc"),
+        )
+
+    best = F.aggregate(sg, zero, merge)
+    chars = F.length(col)
+    cover = best["bc"] * F.length(best["bg"])
+    return F.when(
+        (chars > 0) & (best["bc"] > 0),
+        F.least(cover.cast("double") / chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+def repeated_ngram_char_fraction(col: Column, n: int = 5) -> Column:
+    """Characters in repeat occurrences of any word n-gram (total gram
+    chars - distinct gram chars) / text chars, clamped to 1."""
+    grams = _word_ngrams(col, n)
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(grams, zero, lambda a, x: a + F.length(x))
+    dist = F.aggregate(
+        F.array_distinct(grams), zero, lambda a, x: a + F.length(x)
+    )
+    chars = F.length(col)
+    return F.when(
+        (chars > 0) & (total > dist),
+        F.least((total - dist).cast("double") / chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signal row (one JVM-only pass)."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        F.round(dup_line_fraction(c), 5).alias("dup_line_frac"),
+        F.round(dup_paragraph_fraction(c), 5).alias("dup_para_frac"),
+        F.round(dup_line_char_fraction(c), 5).alias("dup_line_char_frac"),
+        F.round(top_ngram_char_fraction(c, 2), 5).alias("top_2gram_frac"),
+        F.round(top_ngram_char_fraction(c, 3), 5).alias("top_3gram_frac"),
+        F.round(repeated_ngram_char_fraction(c, 5), 5).alias("rep_5gram_frac"),
+    )
+
+
+def repetition_filter(
+    col: Column,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_frac: float = 0.20,
+    max_rep_5gram_frac: float = 0.15,
+) -> Column:
+    """Boolean keep-predicate combining the repetition rules at the
+    published Gopher-style default thresholds."""
+    return (
+        (dup_line_fraction(col) <= max_dup_line_frac)
+        & (dup_paragraph_fraction(col) <= max_dup_para_frac)
+        & (dup_line_char_fraction(col) <= max_dup_line_char_frac)
+        & (top_ngram_char_fraction(col, 2) <= max_top_2gram_frac)
+        & (repeated_ngram_char_fraction(col, 5) <= max_rep_5gram_frac)
+    )
+
+
 # ------------------------------------------------------------ PII redaction
 
 # Portable regexes (no lookaround; valid in both Java regex and RE2,
