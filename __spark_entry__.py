@@ -1598,6 +1598,46 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).drop("text").orderBy("doc_id")
 
 
+def _messy_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL link pairs synthesized from documents:
+    exercises case folding, default ports, tracking params, fragments,
+    and trailing slashes through the canonicalization chain."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return docs.selectExpr(
+        "concat('HTTP://Site', CAST(doc_id % 17 AS STRING),"
+        " '.Example.com:80/p/', CAST(doc_id AS STRING),"
+        " '?utm_source=x&id=', CAST(doc_id AS STRING), '#frag')"
+        " AS src_url",
+        "concat('https://site', CAST((doc_id * 7) % 17 AS STRING),"
+        " '.example.com:443/item/', CAST(doc_id % 50 AS STRING), '/')"
+        " AS dst_url",
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level rollup (webtext.urls): weight
+    = links per (src_host, dst_host); min_src pins every step of the
+    canonical chain into the value hash."""
+    from powergraph_spark.webtext import canonicalize_url, host_graph, host_of
+
+    pairs = _messy_url_pairs(spark, sf_dir)
+    hg = host_graph(pairs)
+    cs = canonicalize_url(F.col("src_url"))
+    cd = canonicalize_url(F.col("dst_url"))
+    mins = (
+        pairs.select(
+            host_of(cs).alias("src_host"),
+            host_of(cd).alias("dst_host"),
+            cs.alias("c"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.min("c").alias("min_src"))
+    )
+    return hg.join(mins, ["src_host", "dst_host"]).orderBy(
+        "src_host", "dst_host"
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length/alpha/punct bands)."""
     docs = _load(spark, sf_dir, "documents")
@@ -1969,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "implicit_edges": q_implicit_edges,
         "repetition": q_repetition,
+        "host_graph": q_host_graph,
     }
 
 
@@ -2379,6 +2420,59 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+_HOST_GRAPH_SQL = r"""
+WITH pairs AS (
+  SELECT 'HTTP://Site' || (doc_id % 17)::VARCHAR || '.Example.com:80/p/'
+         || doc_id::VARCHAR || '?utm_source=x&id=' || doc_id::VARCHAR
+         || '#frag' AS src_url,
+         'https://site' || ((doc_id * 7) % 17)::VARCHAR
+         || '.example.com:443/item/' || (doc_id % 50)::VARCHAR || '/'
+         AS dst_url
+  FROM documents
+),
+canon AS (
+  SELECT
+    regexp_replace(trim(src_url), '#.*$', '') AS s1,
+    regexp_replace(trim(dst_url), '#.*$', '') AS d1,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s1,
+      '([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS s2,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(d1,
+      '([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS d2,
+    lower(regexp_extract(s2, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS ss,
+    lower(regexp_extract(s2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS sa,
+    regexp_replace(s2, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS sr,
+    lower(regexp_extract(d2, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS ds,
+    lower(regexp_extract(d2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS da,
+    regexp_replace(d2, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS dr,
+    CASE WHEN ss = 'http' THEN regexp_replace(sa, ':80$', '')
+         WHEN ss = 'https' THEN regexp_replace(sa, ':443$', '')
+         ELSE sa END AS sa2,
+    CASE WHEN ds = 'http' THEN regexp_replace(da, ':80$', '')
+         WHEN ds = 'https' THEN regexp_replace(da, ':443$', '')
+         ELSE da END AS da2,
+    regexp_replace(CASE WHEN ss <> '' THEN ss || '://' || sa2 || sr
+                        ELSE s2 END, '/$', '') AS cs,
+    regexp_replace(CASE WHEN ds <> '' THEN ds || '://' || da2 || dr
+                        ELSE d2 END, '/$', '') AS cd
+  FROM pairs
+),
+hosted AS (
+  SELECT lower(regexp_extract(cs, '://([^/?#:]*)', 1)) AS src_host,
+         lower(regexp_extract(cd, '://([^/?#:]*)', 1)) AS dst_host,
+         cs
+  FROM canon
+  WHERE lower(regexp_extract(cs, '://([^/?#:]*)', 1)) <> ''
+    AND lower(regexp_extract(cd, '://([^/?#:]*)', 1)) <> ''
+)
+SELECT src_host, dst_host, COUNT(*) AS weight, MIN(cs) AS min_src
+FROM hosted
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
 """
 
 
@@ -3526,6 +3620,7 @@ FROM toks ORDER BY doc_id
         "cascades": _sir_sql(),
         "implicit_edges": _implicit_sql(),
         "repetition": _repetition_sql(),
+        "host_graph": _HOST_GRAPH_SQL,
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

@@ -1,0 +1,93 @@
+"""URL canonicalization + host-level graph rollup.
+
+A Common-Crawl-scale link pipeline (BASELINE.json input_hint: pages
+(url, warc_ts, html, text, lang)) needs URL identity before hashing
+vertices: the same page reached via `HTTP://Site.COM:80/a/?utm_x=1#f`
+and `http://site.com/a` must collapse to one vertex, and domain-level
+analytics (host PageRank, inter-site link counts) need the page graph
+rolled up to hosts. The reference operates on pre-built integer edge
+lists (SNAP/TSV), so this layer extends its capability surface on the
+Spark side the same way datapipe does.
+
+Everything here is a pure JVM regexp/expression chain (whole-stage
+codegen; no Python, RE2-portable patterns — no lookaround — so the
+DuckDB oracle replays the identical canonicalization).
+
+Canonicalization rule chain (documented contract, applied in order):
+ 1. trim surrounding whitespace
+ 2. strip the fragment (`#...`)
+ 3. strip tracking params (utm_*, gclid, fbclid) and repair dangling
+    `?&` / `&&` / trailing `?`/`&` separators
+ 4. lowercase the scheme and host:port authority (path/query case is
+    preserved — path case is significant per RFC 3986)
+ 5. strip the scheme's default port (http:80, https:443)
+ 6. strip a trailing `/`
+URLs without a `://` authority skip steps 4-5 unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_TRACKING_RE = r"([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*"
+
+
+def _strip_tracking(u: Column) -> Column:
+    u = F.regexp_replace(u, _TRACKING_RE, r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    return F.regexp_replace(u, r"[?&]+$", "")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Apply the module's 6-step canonicalization chain (JVM-only)."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    u = _strip_tracking(u)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    rest = F.regexp_replace(u, _AUTH_RE, "")
+    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .otherwise(auth)
+    rebuilt = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), auth, rest)
+    ).otherwise(u)
+    return F.regexp_replace(rebuilt, "/$", "")
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased host (authority minus port) of a URL; '' when the
+    URL has no ``scheme://`` authority."""
+    return F.lower(F.regexp_extract(col, "://([^/?#:]*)", 1))
+
+
+def host_graph(
+    pairs: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    canonicalize: bool = True,
+    drop_self: bool = False,
+) -> DataFrame:
+    """Roll a page-level link-pair table up to the host graph:
+    (src_host, dst_host, weight = #links). One partial-aggregated
+    shuffle on the host pair — the canonicalization/host extraction is
+    map-side, so at 100 TB the shuffle carries only (host, host, count)
+    partial rows. ``drop_self`` removes intra-host edges (the usual
+    setting for inter-site analytics)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    if canonicalize:
+        s, d = canonicalize_url(s), canonicalize_url(d)
+    out = (
+        pairs.select(
+            host_of(s).alias("src_host"), host_of(d).alias("dst_host")
+        )
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    )
+    if drop_self:
+        out = out.filter(F.col("src_host") != F.col("dst_host"))
+    return out.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
