@@ -1638,6 +1638,42 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host graph (pagerank_weighted):
+    link counts steer the rank split; 3 fixed supersteps, 5dp."""
+    from powergraph_spark.algorithms import pagerank_weighted
+    from powergraph_spark.webtext import host_graph
+    from pyspark.sql import Window
+
+    pairs = _messy_url_pairs(spark, sf_dir)
+    hg = host_graph(pairs)
+    hosts = (
+        hg.select(F.col("src_host").alias("host"))
+        .union(hg.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    # tiny fixture id assignment (17 hosts): global row_number; at
+    # crawl scale host ids come from url_id hashing instead
+    ids = hosts.select(
+        "host",
+        F.row_number().over(Window.orderBy("host")).cast("long").alias("id"),
+    )
+    e = (
+        hg.join(ids.selectExpr("host AS src_host", "id AS src"), "src_host")
+        .join(ids.selectExpr("host AS dst_host", "id AS dst"), "dst_host")
+        .select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    )
+    g = Graph.from_edges(e, vertices=ids.select("id"), num_partitions=4)
+    res = pagerank_weighted(g, tol=0.0, max_iterations=3)
+    out = (
+        res.state.join(ids, "id")
+        .select("host", F.round("rank", 5).alias("rank"))
+        .orderBy("host")
+    )
+    g.unpersist()
+    return out
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristic (length/alpha/punct bands)."""
     docs = _load(spark, sf_dir, "documents")
@@ -2010,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "implicit_edges": q_implicit_edges,
         "repetition": q_repetition,
         "host_graph": q_host_graph,
+        "host_rank": q_host_rank,
     }
 
 
@@ -2473,6 +2510,41 @@ SELECT src_host, dst_host, COUNT(*) AS weight, MIN(cs) AS min_src
 FROM hosted
 GROUP BY src_host, dst_host
 ORDER BY src_host, dst_host
+"""
+
+
+def _host_rank_sql() -> str:
+    """Independent derivation of host_rank: hosts/weights computed
+    straight from doc_id residues (not via the canonicalization chain
+    — a stronger, implementation-independent check), then 3 unrolled
+    weighted-PageRank steps mirroring the engine's (rank / wout) * w
+    operation order. Self-loop host edges are dropped exactly like
+    Graph.from_edges, while the vertex set keeps every host."""
+    steps = []
+    for t in range(1, 4):
+        steps.append(f"""
+r{t} AS (
+  SELECT v.host,
+         0.15 + 0.85 * COALESCE(SUM((r{t - 1}.rank / wo.wout) * he.w), 0.0)
+           AS rank
+  FROM hv v LEFT JOIN he ON he.dst = v.host
+            LEFT JOIN r{t - 1} ON r{t - 1}.host = he.src
+            LEFT JOIN wo ON wo.host = he.src
+  GROUP BY v.host
+)""")
+    body = ",".join(steps)
+    return f"""
+WITH he_all AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 17)::VARCHAR || '.example.com' AS src,
+         'site' || ((doc_id * 7) % 17)::VARCHAR || '.example.com' AS dst,
+         COUNT(*) AS w
+  FROM documents GROUP BY 1, 2
+),
+hv AS (SELECT src AS host FROM he_all UNION SELECT dst FROM he_all),
+he AS MATERIALIZED (SELECT * FROM he_all WHERE src <> dst),
+wo AS (SELECT src AS host, CAST(SUM(w) AS DOUBLE) AS wout FROM he GROUP BY src),
+r0 AS (SELECT host, 1.0 AS rank FROM hv),{body}
+SELECT host, ROUND(rank, 5) AS rank FROM r3 ORDER BY host
 """
 
 
@@ -3621,6 +3693,7 @@ FROM toks ORDER BY doc_id
         "implicit_edges": _implicit_sql(),
         "repetition": _repetition_sql(),
         "host_graph": _HOST_GRAPH_SQL,
+        "host_rank": _host_rank_sql(),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

@@ -23,7 +23,13 @@ from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
 from .nmf import nmf
-from .pagerank import pagerank, pagerank_delta, pagerank_warm_start, total_rank
+from .pagerank import (
+    pagerank,
+    pagerank_delta,
+    pagerank_warm_start,
+    pagerank_weighted,
+    total_rank,
+)
 from .sparse_als import cosamp, sparse_als
 from .spectral import (
     SpectralResult,
@@ -110,4 +116,5 @@ __all__ = [
     "seed_status",
     "sir_counts",
     "add_implicit_ratings",
+    "pagerank_weighted",
 ]

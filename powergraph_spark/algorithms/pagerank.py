@@ -300,6 +300,110 @@ def pagerank(
     return result
 
 
+def pagerank_weighted(
+    graph: Graph,
+    weight_col: str = "weight",
+    tol: float = 1e-6,
+    max_iterations: int = 200,
+    damping: float = 0.85,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 1,
+    check_interval: int = 1,
+    resume: bool = False,
+    verbose: bool = False,
+) -> GASResult:
+    """Weighted PageRank: an out-edge contributes rank * w / Σ_out w
+    instead of rank / out_degree — the natural ranking for edge tables
+    carrying multiplicities, e.g. the host graph's link counts
+    (webtext.urls.host_graph). Reduces exactly to :func:`pagerank`
+    when every weight is 1 (differential-tested). The reference's
+    pagerank is unweighted (pagerank.cpp:99-106); this extends the
+    toolkit with the flagship's plan discipline intact: slim
+    (id, rank, delta) state, a static (id, wout) cache, zero-exchange
+    shuffle-hash joins, observe-fused convergence, one
+    materialization per superstep. Vertices with non-positive total
+    out-weight are dangling (contribute nothing). Weights must be
+    pre-aggregated to ONE row per (src, dst) — Graph.from_edges dedups
+    pairs, so duplicate-pair weight rows never reach this function
+    intact (host_graph output already satisfies this). Returns state
+    (id, rank, wout, delta)."""
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+
+    wout = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("wout")
+    )
+    static = (
+        graph.vertices.select("id")
+        .join(wout.hint("shuffle_hash"), "id", "left")
+        .select("id", F.coalesce("wout", F.lit(0.0)).alias("wout"))
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    static.count()
+    init = static.select(
+        "id", F.lit(1.0).alias("rank"), F.lit(float("inf")).alias("delta")
+    )
+
+    upd = f"{RESET_PROB} + {damping} * coalesce(gathered, 0.0)"
+
+    def step(g: Graph, state: DataFrame, i: int):
+        contrib = (
+            edges.join(
+                state.join(static.hint("shuffle_hash"), "id")
+                .filter("wout > 0")
+                .selectExpr("id", "rank / wout AS c")
+                .hint("shuffle_hash"),
+                edges.src == F.col("id"),
+            )
+            .selectExpr("dst", "w * c AS wc")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("wc").alias("gathered"))
+        )
+        new_state = state.join(
+            contrib.hint("shuffle_hash"), "id", "left"
+        ).selectExpr(
+            "id", f"{upd} AS rank", f"abs(({upd}) - rank) AS delta"
+        )
+        return new_state, None
+
+    def observe_aggs():
+        return [
+            F.sum(F.when(F.col("delta") > tol, 1).otherwise(0))
+            .cast("long").alias("active"),
+            F.max("delta").alias("metric"),
+        ]
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=observe_aggs,
+        tol=tol,
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    result.state = (
+        result.state.join(static.hint("shuffle_hash"), "id")
+        .select("id", "rank", "wout", "delta")
+        .localCheckpoint(eager=True)
+    )
+    static.unpersist()
+    edges.unpersist()
+    return result
+
+
 def total_rank(state: DataFrame) -> float:
     """map_reduce_vertices(total_rank) self-check (pagerank.cpp:257-258)."""
     return float(state.agg(F.sum("rank")).first()[0])

@@ -23,6 +23,14 @@ Canonicalization rule chain (documented contract, applied in order):
  5. strip the scheme's default port (http:80, https:443)
  6. strip a trailing `/`
 URLs without a `://` authority skip steps 4-5 unchanged.
+
+Codegen note: project-collapsing inlines the chain several times when
+canonicalization, host extraction, and the non-empty filter compose in
+one plan; past janino's method-size limit Spark logs an
+InternalCompilerException and falls back to interpreted evaluation —
+correct results, slower path. For hot 100 TB pipelines, materialize
+the canonical column once (localCheckpoint / write) before fanning
+out further derivations.
 """
 
 from __future__ import annotations
