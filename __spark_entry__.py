@@ -1504,6 +1504,19 @@ def q_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "status").orderBy("id")
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 4 lowest-id seeds, 3 fixed
+    supersteps (reset mass only on the seed set), 5dp."""
+    from powergraph_spark.algorithms import personalized_pagerank
+
+    g = _co_graph(spark, sf_dir)
+    seeds = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    res = personalized_pagerank(g, seeds, tol=0.0, max_iterations=3)
+    return res.state.select(
+        "id", F.round("rank", 5).alias("rank")
+    ).orderBy("id")
+
+
 def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-cut graph Laplacian COO entries
     (graph_laplacian.cpp:95-131,182-202)."""
@@ -2047,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
+        "ppr": q_ppr,
     }
 
 
@@ -2510,6 +2524,37 @@ SELECT src_host, dst_host, COUNT(*) AS weight, MIN(cs) AS min_src
 FROM hosted
 GROUP BY src_host, dst_host
 ORDER BY src_host, dst_host
+"""
+
+
+def _ppr_sql() -> str:
+    """Personalized-PageRank unroll: reset = 0.15 on the 4 lowest-id
+    seeds else 0; r0 = reset; 3 steps mirroring the engine's
+    rank/out_deg contribution order."""
+    steps = []
+    for t in range(1, 4):
+        steps.append(f"""
+r{t} AS (
+  SELECT v.id,
+         (CASE WHEN s.id IS NOT NULL THEN 0.15 ELSE 0.0 END)
+         + 0.85 * COALESCE(SUM(r{t - 1}.rank / od.c), 0.0) AS rank
+  FROM v LEFT JOIN seeds s ON s.id = v.id
+         LEFT JOIN e ON e.dst = v.id
+         LEFT JOIN r{t - 1} ON r{t - 1}.id = e.src
+         LEFT JOIN od ON od.id = e.src
+  GROUP BY v.id, s.id
+)""")
+    body = ",".join(steps)
+    return f"""
+WITH {_SQL_EDGES_MAT},
+seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT 4),
+od AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY src),
+r0 AS (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL THEN 0.15 ELSE 0.0 END AS rank
+  FROM v LEFT JOIN seeds s ON s.id = v.id
+),{body}
+SELECT id, ROUND(rank, 5) AS rank FROM r3 ORDER BY id
 """
 
 
@@ -3694,6 +3739,7 @@ FROM toks ORDER BY doc_id
         "repetition": _repetition_sql(),
         "host_graph": _HOST_GRAPH_SQL,
         "host_rank": _host_rank_sql(),
+        "ppr": _ppr_sql(),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

@@ -28,6 +28,7 @@ from .pagerank import (
     pagerank_delta,
     pagerank_warm_start,
     pagerank_weighted,
+    personalized_pagerank,
     total_rank,
 )
 from .sparse_als import cosamp, sparse_als
@@ -117,4 +118,5 @@ __all__ = [
     "sir_counts",
     "add_implicit_ratings",
     "pagerank_weighted",
+    "personalized_pagerank",
 ]

@@ -404,6 +404,135 @@ def pagerank_weighted(
     return result
 
 
+def personalized_pagerank(
+    graph: Graph,
+    sources,
+    tol: float = 1e-6,
+    max_iterations: int = 200,
+    damping: float = 0.85,
+    checkpoint: CheckpointStore | None = None,
+    checkpoint_interval: int = 1,
+    check_interval: int = 1,
+    resume: bool = False,
+    verbose: bool = False,
+) -> GASResult:
+    """Personalized (topic-sensitive) PageRank: the reset mass lands
+    only on ``sources`` (list of vertex ids, or a DataFrame with an
+    ``id`` column) — r = reset + damping * Aᵀ r with
+    reset(v) = RESET_PROB·1[v ∈ S], the unnormalized analog of the
+    reference's uniform reset (pagerank.cpp:99-106; uniform S = every
+    vertex recovers standard pagerank ranks exactly). Standard
+    link-graph primitive for seed-relative relevance (crawl frontier
+    scoring, related-page ranking). Same plan discipline as the
+    flagship: slim state, static (id, out_deg, is_src) cache,
+    zero-exchange shuffle-hash joins, observe-fused convergence.
+    Returns state (id, rank, out_deg, delta)."""
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = graph.vertices.select("id").join(
+        out_deg.hint("shuffle_hash"), "id", "left"
+    )
+    if isinstance(sources, DataFrame):
+        flag = sources.select("id").distinct().withColumn(
+            "is_src", F.lit(True)
+        )
+        base = base.join(flag.hint("shuffle_hash"), "id", "left")
+        src_expr = F.coalesce("is_src", F.lit(False))
+    else:
+        src_expr = F.col("id").isin([int(s) for s in sources])
+    static = (
+        base.select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            src_expr.alias("is_src"),
+        )
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    static.count()
+
+    # explicit DOUBLE casts: bare 0.15/0.0 literals parse as DECIMAL
+    # in selectExpr and would leak decimal.Decimal into the rank column
+    reset = (
+        f"CASE WHEN is_src THEN CAST({RESET_PROB} AS DOUBLE)"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    # is_src rides IN the state row (one boolean) so apply is a single
+    # state ⋈ contrib join — the flagship's exact superstep shape. An
+    # earlier draft joined static AND state in apply (state re-entering
+    # the plan through an extra aliased branch) and hit the geometric
+    # origin-chain blowup truncate_plan documents: measured 0.4 -> 1.4
+    # -> 3.5 -> 8.4 -> 22 -> 59 s/superstep by step 24 on a 5-vertex
+    # fixture. The flagship shape stays flat for 100+ supersteps.
+    init = static.select(
+        "id",
+        "is_src",
+        F.expr(reset).alias("rank"),
+        F.lit(float("inf")).alias("delta"),
+    )
+    upd = f"({reset}) + {damping} * coalesce(gathered, 0.0)"
+
+    def step(g: Graph, state: DataFrame, i: int):
+        contrib = (
+            edges.join(
+                state.join(static.hint("shuffle_hash"), "id")
+                .filter("out_deg > 0")
+                .selectExpr("id", "rank / out_deg AS c")
+                .hint("shuffle_hash"),
+                edges.src == F.col("id"),
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("gathered"))
+        )
+        new_state = state.join(
+            contrib.hint("shuffle_hash"), "id", "left"
+        ).selectExpr(
+            "id",
+            "is_src",
+            f"{upd} AS rank",
+            f"abs(({upd}) - rank) AS delta",
+        )
+        return new_state, None
+
+    def observe_aggs():
+        return [
+            F.sum(F.when(F.col("delta") > tol, 1).otherwise(0))
+            .cast("long").alias("active"),
+            F.max("delta").alias("metric"),
+        ]
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=observe_aggs,
+        tol=tol,
+        max_iterations=max_iterations,
+        checkpoint=checkpoint,
+        checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    result.state = (
+        result.state.join(static.hint("shuffle_hash"), "id")
+        .select("id", "rank", "out_deg", "delta")
+        .localCheckpoint(eager=True)
+    )
+    static.unpersist()
+    edges.unpersist()
+    return result
+
+
 def total_rank(state: DataFrame) -> float:
     """map_reduce_vertices(total_rank) self-check (pagerank.cpp:257-258)."""
     return float(state.agg(F.sum("rank")).first()[0])
