@@ -1517,6 +1517,20 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 3 iterations with per-half-step L2
+    normalization, over the directed part graph; 5dp."""
+    from powergraph_spark.algorithms import hits
+
+    g = _dir_graph(spark, sf_dir)
+    out, _, _ = hits(g, max_iterations=3, tol=0.0)
+    return out.select(
+        "id",
+        F.round("hub", 5).alias("hub"),
+        F.round("auth", 5).alias("auth"),
+    ).orderBy("id")
+
+
 def q_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-cut graph Laplacian COO entries
     (graph_laplacian.cpp:95-131,182-202)."""
@@ -2061,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
         "ppr": q_ppr,
+        "hits3": q_hits3,
     }
 
 
@@ -2555,6 +2570,49 @@ r0 AS (
   FROM v LEFT JOIN seeds s ON s.id = v.id
 ),{body}
 SELECT id, ROUND(rank, 5) AS rank FROM r3 ORDER BY id
+"""
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """HITS unroll over the directed part graph: authorities from
+    current hubs, hubs from the new authorities, L2 norm per
+    half-step (eigen3's proven norm-parity pattern), 5dp."""
+    ctes = [
+        "n0 AS (SELECT sqrt(COUNT(*)::DOUBLE) AS nn FROM vd)",
+        "h0 AS (SELECT id, 1.0 / (SELECT nn FROM n0) AS h FROM vd)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(SUM(h{t - 1}.h), 0.0) AS a"
+            f" FROM vd v LEFT JOIN ed ON ed.dst = v.id"
+            f" LEFT JOIN h{t - 1} ON h{t - 1}.id = ed.src GROUP BY v.id)"
+        )
+        ctes.append(f"na{t} AS (SELECT sqrt(SUM(a * a)) AS n FROM ar{t})")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN (SELECT n FROM na{t}) = 0 THEN a"
+            f" ELSE a / (SELECT n FROM na{t}) END AS a FROM ar{t})"
+        )
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(SUM(a{t}.a), 0.0) AS h"
+            f" FROM vd v LEFT JOIN ed ON ed.src = v.id"
+            f" LEFT JOIN a{t} ON a{t}.id = ed.dst GROUP BY v.id)"
+        )
+        ctes.append(f"nh{t} AS (SELECT sqrt(SUM(h * h)) AS n FROM hr{t})")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN (SELECT n FROM nh{t}) = 0 THEN h"
+            f" ELSE h / (SELECT n FROM nh{t}) END AS h FROM hr{t})"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_DIR_EDGES},
+{body}
+SELECT h{iters}.id, ROUND(h{iters}.h, 5) AS hub, ROUND(a{iters}.a, 5) AS auth
+FROM h{iters} JOIN a{iters} ON a{iters}.id = h{iters}.id
+ORDER BY h{iters}.id
 """
 
 
@@ -3740,6 +3798,7 @@ FROM toks ORDER BY doc_id
         "host_graph": _HOST_GRAPH_SQL,
         "host_rank": _host_rank_sql(),
         "ppr": _ppr_sql(),
+        "hits3": _hits_sql(3),
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

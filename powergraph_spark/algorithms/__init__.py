@@ -19,6 +19,7 @@ from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .jacobi import JacobiResult, jacobi
+from .hits import hits
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .label_propagation import label_histogram, label_propagation
@@ -119,4 +120,5 @@ __all__ = [
     "add_implicit_ratings",
     "pagerank_weighted",
     "personalized_pagerank",
+    "hits",
 ]
