@@ -1517,6 +1517,16 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_plaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE (CSN continuous approximation) of the
+    co-occurrence out-degree distribution, dmin=2."""
+    g = _co_graph(spark, sf_dir)
+    alpha, n = g.powerlaw_alpha(direction="out", dmin=2)
+    return spark.createDataFrame(
+        [(round(alpha, 5), n)], "alpha double, n long"
+    )
+
+
 def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 3 iterations with per-half-step L2
     normalization, over the directed part graph; 5dp."""
@@ -2076,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "ppr": q_ppr,
         "hits3": q_hits3,
+        "plaw_alpha": q_plaw_alpha,
     }
 
 
@@ -3799,6 +3810,14 @@ FROM toks ORDER BY doc_id
         "host_rank": _host_rank_sql(),
         "ppr": _ppr_sql(),
         "hits3": _hits_sql(3),
+        "plaw_alpha": f"""
+WITH {_SQL_EDGES},
+od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+f AS (SELECT d FROM od WHERE d >= 2)
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(d / 1.5E0)), 5) AS alpha,
+       COUNT(*) AS n
+FROM f
+""",
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),

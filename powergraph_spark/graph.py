@@ -170,6 +170,32 @@ class Graph:
             )
         )
 
+    def powerlaw_alpha(
+        self, direction: str = "out", dmin: int = 1
+    ) -> tuple[float, int]:
+        """MLE of the degree-distribution power-law exponent
+        (Clauset-Shalizi-Newman 2009 continuous approximation):
+        alpha = 1 + n / Σ_{d >= dmin} ln(d / (dmin - 0.5)). The
+        diagnostic companion to load_synthetic_powerlaw / the skew
+        machinery — the measured alpha decides hub salting and skew
+        caps at ingest. One degree pass + one global aggregate.
+        Returns (alpha, n_samples); alpha = inf when every sampled
+        degree equals dmin (zero log-sum)."""
+        col = {"out": "out_deg", "in": "in_deg"}[direction]
+        row = (
+            self.degrees()
+            .filter(F.col(col) >= dmin)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.log(F.col(col) / F.lit(dmin - 0.5))).alias("s"),
+            )
+            .first()
+        )
+        n, s = int(row["n"]), float(row["s"] or 0.0)
+        if s <= 0.0:
+            return float("inf"), n
+        return 1.0 + n / s, n
+
     def replication_factor(self) -> float:
         return replication_factor(self.edges)
 

@@ -103,3 +103,33 @@ def test_from_edges_single_exchange_dedup(spark):
     rows = {(r["src"], r["dst"]) for r in g.edges.collect()}
     assert rows == {(1, 2), (2, 3), (3, 1)}
     assert g.edges.count() == 3
+
+
+def test_powerlaw_alpha_mle(spark):
+    """CSN-MLE exponent estimate: exact vs a python replica of the
+    formula, and in a sane band around the generator's alpha=2.1."""
+    import math
+
+    from oracles import powerlaw_edges
+
+    edges = powerlaw_edges(400, seed=21, alpha=2.1)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    alpha, n = g.powerlaw_alpha(direction="out", dmin=1)
+
+    import pytest
+
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    degs = [d for d in out.values() if d >= 1]
+    exp = 1.0 + len(degs) / sum(math.log(d / 0.5) for d in degs)
+    assert n == len(degs)
+    assert alpha == pytest.approx(exp, abs=1e-9)
+    assert 1.3 < alpha < 3.0
+    # empty-sample guard: dmin above every degree -> inf, n=0
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    g2 = Graph.from_pandas(spark, ring, num_partitions=2)
+    a2, n2 = g2.powerlaw_alpha(direction="out", dmin=5)
+    assert a2 == float("inf") and n2 == 0
+    g.unpersist()
+    g2.unpersist()
