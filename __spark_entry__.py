@@ -1527,6 +1527,21 @@ def q_plaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KTRUSS_K = 6
+KTRUSS_UNROLL = 10
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peel (edge analog of kcore.cpp's vertex peel): the
+    maximal subgraph where every edge closes >= k-2 triangles, with
+    each surviving edge's in-truss support."""
+    from powergraph_spark.algorithms import ktruss
+
+    g = _co_graph(spark, sf_dir)
+    out, _ = ktruss(g, KTRUSS_K)
+    return out.orderBy("a", "b")
+
+
 def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 3 iterations with per-half-step L2
     normalization, over the directed part graph; 5dp."""
@@ -2087,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "hits3": q_hits3,
         "plaw_alpha": q_plaw_alpha,
+        "ktruss": q_ktruss,
     }
 
 
@@ -2581,6 +2597,49 @@ r0 AS (
   FROM v LEFT JOIN seeds s ON s.id = v.id
 ),{body}
 SELECT id, ROUND(rank, 5) AS rank FROM r3 ORDER BY id
+"""
+
+
+def _ktruss_sql(k: int, unroll: int) -> str:
+    """Unrolled k-truss peel: per level, enumerate triangles with the
+    x<y<z three-way join, credit each triangle's three edges, keep
+    edges with support >= k-2. Exact no-op at the fixpoint, so
+    over-unrolling is safe (same property as the kcore oracle)."""
+    need = k - 2
+
+    def tri(t: int) -> str:
+        return (
+            f"t{t} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM u{t} e1 JOIN u{t} e2 ON e2.a = e1.b"
+            f" JOIN u{t} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+
+    def sup(t: int) -> str:
+        return (
+            f"s{t} AS (SELECT a, b, COUNT(*) AS s FROM ("
+            f"SELECT x AS a, y AS b FROM t{t}"
+            f" UNION ALL SELECT y AS a, z AS b FROM t{t}"
+            f" UNION ALL SELECT x AS a, z AS b FROM t{t}) GROUP BY a, b)"
+        )
+
+    ctes = ["u0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e)"]
+    for t in range(unroll):
+        ctes.append(tri(t))
+        ctes.append(sup(t))
+        ctes.append(
+            f"u{t + 1} AS MATERIALIZED (SELECT u.a, u.b FROM u{t} u"
+            f" LEFT JOIN s{t} s ON s.a = u.a AND s.b = u.b"
+            f" WHERE COALESCE(s.s, 0) >= {need})"
+        )
+    ctes.append(tri(unroll))
+    ctes.append(sup(unroll))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_EDGES_MAT},
+{body}
+SELECT u.a, u.b, COALESCE(s.s, 0) AS support
+FROM u{unroll} u LEFT JOIN s{unroll} s ON s.a = u.a AND s.b = u.b
+ORDER BY u.a, u.b
 """
 
 
@@ -3810,6 +3869,7 @@ FROM toks ORDER BY doc_id
         "host_rank": _host_rank_sql(),
         "ppr": _ppr_sql(),
         "hits3": _hits_sql(3),
+        "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_UNROLL),
         "plaw_alpha": f"""
 WITH {_SQL_EDGES},
 od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),

@@ -22,6 +22,7 @@ from .jacobi import JacobiResult, jacobi
 from .hits import hits
 from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
+from .ktruss import ktruss
 from .label_propagation import label_histogram, label_propagation
 from .nmf import nmf
 from .pagerank import (
@@ -121,4 +122,5 @@ __all__ = [
     "pagerank_weighted",
     "personalized_pagerank",
     "hits",
+    "ktruss",
 ]
