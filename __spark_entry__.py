@@ -2013,6 +2013,105 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _lined_docs(spark: SparkSession, sf_dir: str, punct: bool = False) -> DataFrame:
+    """Derive deterministic multi-line documents from the single-line
+    synthetic corpus: whitespace tokens chunked into 8-token lines
+    (newline-joined).  With punct=True, lines whose 0-based index j has
+    j % 3 != 2 get a trailing '.' so the C4 terminal-punctuation rule
+    sees both outcomes.  Mirrored token-for-token by the SQL oracles
+    (same fixture-derivation idiom as _messy_url_pairs)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    n = F.size(toks)
+
+    def mk(j: Column) -> Column:
+        chunk = F.array_join(F.slice(toks, j * 8 + 1, 8), " ")
+        if punct:
+            chunk = F.concat(
+                chunk,
+                F.when(j % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+            )
+        return chunk
+
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int"))
+    lined = F.array_join(F.transform(idx, mk), "\n")
+    return docs.select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", F.lit("")).otherwise(lined).alias("text"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (CCNet/RefinedWeb-style):
+    keep only the globally-first occurrence of every line, re-assemble
+    each doc in order. clean_md5 pins the full surviving text."""
+    from powergraph_spark.datapipe import line_dedup
+
+    lined = _lined_docs(spark, sf_dir)
+    return (
+        line_dedup(lined)
+        .select(
+            "doc_id", "n_lines", "n_kept",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering (terminal punct, >=5 words, marker
+    drops) + doc-level keep rule — zero-shuffle JVM projection."""
+    from powergraph_spark.datapipe import c4_line_filter
+
+    lined = _lined_docs(spark, sf_dir, punct=True)
+    return (
+        c4_line_filter(lined)
+        .select(
+            "doc_id", "n_lines", "n_kept", "kept",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-uniform train/val/test assignment: per-split
+    doc count + id checksum (stable under any partitioning/rerun)."""
+    from powergraph_spark.datapipe import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        hash_split(docs, fractions=SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_qsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sampling: keep doc iff
+    md5-uniform(id) < quality_score(text); returns the survivors with
+    their draw and weight (5dp)."""
+    from powergraph_spark.datapipe import quality_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        quality_sample(docs, quality_score(F.col("text")))
+        .select(
+            "doc_id",
+            F.round("u", 5).alias("u"),
+            F.round("w", 5).alias("w"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS harness checks the
     FIRST 50 entries. Round-5 rotation (documented in README §correctness):
@@ -2103,6 +2202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits3": q_hits3,
         "plaw_alpha": q_plaw_alpha,
         "ktruss": q_ktruss,
+        "line_dedup": q_line_dedup,
+        "c4_clean": q_c4_clean,
+        "split_counts": q_split_counts,
+        "qsample": q_qsample,
     }
 
 
@@ -3239,6 +3342,152 @@ ORDER BY "user", rank
 """
 
 
+def _lined_sql(punct: bool = False) -> str:
+    """CTEs base/lined/ls mirroring _lined_docs + split_lines: tokens
+    chunked into 8-token lines (optionally '.'-terminated when the
+    0-based line index j has j % 3 != 2), then trimmed non-empty
+    line arrays."""
+    dot = (
+        " || (CASE WHEN j % 3 <> 2 THEN '.' ELSE '' END)" if punct else ""
+    )
+    return f"""
+base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+lined AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN ''
+              ELSE array_to_string(
+                list_transform(
+                  generate_series(0, CAST(floor((len(toks) - 1) / 8.0) AS INT)),
+                  j -> array_to_string(toks[j*8+1:j*8+8], ' '){dot}),
+                chr(10)) END AS text
+  FROM base
+),
+ls AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM lined
+)"""
+
+
+def _line_dedup_sql() -> str:
+    """Mirror of datapipe.clean.line_dedup over the lined fixture:
+    global first-occurrence (doc_id, pos) keeps, per-doc reassembly."""
+    return f"""
+WITH {_lined_sql()},
+lx AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(lines)),
+                      i -> {{'pos': i - 1, 'line': lines[i]}})) AS s
+        FROM ls)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, pos) AS rn
+  FROM lx
+),
+kept AS (SELECT * FROM ranked WHERE cnt = 1 OR rn = 1),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       len(s.lines)::BIGINT AS n_lines,
+       COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+       md5(COALESCE(a.text_clean, '')) AS clean_md5
+FROM ls s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def _c4_clean_sql() -> str:
+    """Mirror of datapipe.clean.c4_line_filter over the punctuated
+    lined fixture (same rule constants as C4_LINE/DOC_MARKERS)."""
+    line_ok = (
+        "len(string_split_regex(x, '[ \t]+')) >= 5"
+        " AND right(x, 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(x), 'javascript')"
+        " AND NOT contains(lower(x), 'cookie policy')"
+        " AND NOT contains(lower(x), 'terms of use')"
+    )
+    return f"""
+WITH {_lined_sql(punct=True)},
+f AS (
+  SELECT s.doc_id, s.lines,
+         list_filter(s.lines, x -> {line_ok}) AS keptl,
+         (contains(lower(l.text), 'lorem ipsum')
+          OR contains(l.text, '{{')) AS marked
+  FROM ls s JOIN lined l USING (doc_id)
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(keptl)::BIGINT AS n_kept,
+       (len(keptl) >= 3 AND NOT marked) AS kept,
+       md5(array_to_string(keptl, chr(10))) AS clean_md5
+FROM f ORDER BY doc_id
+"""
+
+
+def _sql_md5_u(hcol: str = "h") -> str:
+    """Nibble-replay of the Spark conv(substring(md5(..),1,8),16,10)
+    / 2^32 uniform draw over a hex column (same scheme as the
+    ALS/LDA/cascades oracles)."""
+    val = " + ".join(
+        f"(strpos('{_HEX}', substr({hcol}, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"(({val})::DOUBLE / CAST(4294967296 AS DOUBLE))"
+
+
+def _split_counts_sql() -> str:
+    """Mirror of hash_split: identical Python-accumulated thresholds
+    (float repr preserves the Spark-side cumulative-sum doubles)."""
+    acc = 0.0
+    cases = []
+    names = list(SPLIT_FRACTIONS.items())
+    for name, frac in names[:-1]:
+        acc += frac
+        cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    cases.append(f"ELSE '{names[-1][0]}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH hs AS (SELECT doc_id, md5('split:' || doc_id::VARCHAR) AS h
+            FROM documents),
+d AS (SELECT doc_id, {_sql_md5_u()} AS u FROM hs)
+SELECT {case} AS split, COUNT(*)::BIGINT AS n_docs,
+       SUM(doc_id)::BIGINT AS sum_ids
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def _qsample_sql() -> str:
+    """Mirror of quality_sample(quality_score): same 5dp-rounded
+    weight as the quality_score oracle, same md5-uniform draw."""
+    w = """ROUND(
+         0.4 * LEAST(length(text) / 500.0, 1.0)
+       + 0.4 * (CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                     / length(text) ELSE 0.0 END)
+       + 0.2 * (1.0 - LEAST(
+           (CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+                 / length(text) ELSE 0.0 END) * 4, 1.0)),
+       5)"""
+    return f"""
+WITH hs AS (SELECT doc_id, md5('qsample:' || doc_id::VARCHAR) AS h, {w} AS w
+            FROM documents),
+d AS (SELECT doc_id, {_sql_md5_u()} AS u, w FROM hs)
+SELECT doc_id, ROUND(u, 5) AS u, ROUND(w, 5) AS w
+FROM d WHERE u < w ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = _SQL_EDGES
     out = {
@@ -3870,6 +4119,10 @@ FROM toks ORDER BY doc_id
         "ppr": _ppr_sql(),
         "hits3": _hits_sql(3),
         "ktruss": _ktruss_sql(KTRUSS_K, KTRUSS_UNROLL),
+        "line_dedup": _line_dedup_sql(),
+        "c4_clean": _c4_clean_sql(),
+        "split_counts": _split_counts_sql(),
+        "qsample": _qsample_sql(),
         "plaw_alpha": f"""
 WITH {_SQL_EDGES},
 od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),

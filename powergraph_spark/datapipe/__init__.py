@@ -1,3 +1,10 @@
+from .clean import (
+    c4_line_filter,
+    hash_split,
+    line_dedup,
+    quality_sample,
+    split_lines,
+)
 from .dedup import (
     dedup_exact,
     exact_dup_groups,
@@ -51,4 +58,6 @@ __all__ = [
     "repetition_stats", "repetition_filter",
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
     "contamination", "decontaminate",
+    "split_lines", "line_dedup", "c4_line_filter", "hash_split",
+    "quality_sample",
 ]

@@ -1,0 +1,222 @@
+"""Corpus-level cleaning operators for LLM training-data pipelines.
+
+Three families, all Spark-first:
+
+- ``line_dedup``: cross-document duplicated-line removal (CCNet /
+  RefinedWeb-style).  The only corpus-wide state is the md5 line key;
+  lines shuffle once to count occurrences and once more (co-partitioned
+  on the same key) to join the verdict back, then re-assemble per doc.
+- ``c4_line_filter``: C4-style per-line heuristics (Raffel et al. 2020,
+  public): terminal punctuation, minimum words, marker-phrase drops,
+  plus document-level lorem-ipsum / brace / min-lines rules.  Pure JVM
+  array expressions — zero shuffles, zero Python.
+- ``hash_split`` / ``quality_sample``: deterministic md5-uniform
+  train/val/test assignment and quality-weighted Bernoulli sampling.
+  Same draw on any cluster size or partitioning, replayable in SQL.
+
+The reference engine has no text pipeline (its payload is the link
+graph); these extend the capability surface per the graft mandate and
+reuse its determinism discipline (cf. warp.py bond percolation's
+md5-seeded draws, toolkits/graph_analytics/warp_bond_percolation.cpp).
+
+Scale notes (100 TB posture):
+- ``line_dedup`` groups by the 128-bit md5 of the line, never the line
+  text, so the count shuffle carries (key, id, pos) rows only; the
+  verdict join is key-co-partitioned with the count aggregation (one
+  exchange reused).  Document re-assembly is the final groupBy on the
+  doc id — the same key the corpus is already stored by.
+- ``c4_line_filter`` never leaves the row: per-doc line arrays are
+  filtered with ``F.filter`` lambdas inside whole-stage codegen.
+- ``hash_split`` / ``quality_sample`` are stateless projections —
+  no shuffle, no driver state, trivially resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "split_lines",
+    "line_dedup",
+    "c4_line_filter",
+    "hash_split",
+    "quality_sample",
+]
+
+
+def split_lines(col: Column) -> Column:
+    """Trimmed, non-empty lines of a text column (array<string>)."""
+    segs = F.transform(F.split(col, "\n"), lambda x: F.trim(x))
+    return F.filter(segs, lambda x: x != "")
+
+
+def _md5_uniform(expr: str) -> Column:
+    """Deterministic uniform [0,1) from the first 8 md5 hex nibbles of
+    a SQL string expression — the same draw the GAS toolkits use
+    (als.py:121, cascades.py:76) and DuckDB replays nibble-by-nibble."""
+    return F.expr(
+        f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS DOUBLE)"
+        " / CAST(4294967296 AS DOUBLE)"
+    )
+
+
+# ------------------------------------------------ cross-doc line dedup
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-wide duplicated lines, keeping only the globally
+    FIRST occurrence of each line (ordered by (id, line position) —
+    deterministic under any partitioning).  Unique lines always stay.
+
+    Returns one row per input doc: (id_col, n_lines, n_kept,
+    text_clean) where text_clean re-joins the surviving trimmed lines
+    with newlines in their original order ('' if nothing survives).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(split_lines(F.col(text_col))).alias("__pos", "__line"),
+    ).withColumn("__k", F.md5("__line"))
+
+    # one hash-partition by the line key serves both the count and the
+    # first-occurrence minimum; struct min is lexicographic (id, pos)
+    verdict = lines.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
+    )
+    kept = (
+        lines.join(verdict.hint("shuffle_hash"), "__k")
+        .where(
+            (F.col("__cnt") == 1)
+            | (
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(split_lines(F.col(text_col))).cast("long").alias("n_lines"),
+    )
+    return (
+        base.join(kept, base[id_col] == kept["__id"], "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# -------------------------------------------------- C4-style filtering
+C4_LINE_MARKERS = ["javascript", "cookie policy", "terms of use"]
+C4_DOC_MARKERS = ["lorem ipsum", "{"]
+_TERMINAL = ('.', '!', '?', '"')
+
+
+def _line_ok(line: Column, min_words: int) -> Column:
+    words = F.size(F.split(line, r"[ \t]+"))
+    ends = F.substring(line, -1, 1).isin(*_TERMINAL)
+    lower = F.lower(line)
+    marked = F.lit(False)
+    for m in C4_LINE_MARKERS:
+        marked = marked | lower.contains(m)
+    return (words >= F.lit(min_words)) & ends & ~marked
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (documented instantiation of Raffel et al.
+    2020 §2.2, public): keep a line iff it has >= min_words whitespace
+    words, ends in terminal punctuation (. ! ? \"), and contains none
+    of C4_LINE_MARKERS (lowercased); keep a doc iff >= min_lines lines
+    survive and the lowercased text contains none of C4_DOC_MARKERS.
+
+    Pure projection — per-doc line arrays filtered in whole-stage
+    codegen; no shuffle, no Python.  Returns (id_col, n_lines, n_kept,
+    kept, text_clean).
+    """
+    ls = split_lines(F.col(text_col))
+    kept_ls = F.filter(ls, lambda x: _line_ok(x, min_words))
+    lower = F.lower(F.col(text_col))
+    doc_marked = F.lit(False)
+    for m in C4_DOC_MARKERS:
+        doc_marked = doc_marked | lower.contains(m)
+    n_kept = F.size(kept_ls).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.size(ls).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        ((n_kept >= F.lit(min_lines)) & ~doc_marked).alias("kept"),
+        F.array_join(kept_ls, "\n").alias("text_clean"),
+    )
+
+
+# --------------------------------------- deterministic splits/sampling
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign each row to a named split by a deterministic md5-uniform
+    draw on (seed, id).  Stateless projection: the same row lands in
+    the same split on any cluster size, partitioning, or re-run, and
+    new rows never reshuffle old assignments (the property a continuous
+    crawl needs).  Adds a ``split`` column.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = _md5_uniform(f"concat('{seed}:', CAST({id_col} AS STRING))")
+    expr: Column | None = None
+    acc = 0.0
+    names = list(fractions.items())
+    for name, frac in names[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = names[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)
+
+
+def quality_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: str = "qsample",
+) -> DataFrame:
+    """Keep each row independently with probability = weight (clamped
+    to [0,1]), via the same deterministic md5-uniform draw.  Weighted
+    downsampling by quality score without global state or RNG order
+    dependence.  Adds ``u`` (the draw) and keeps rows with u < weight.
+    """
+    u = _md5_uniform(f"concat('{seed}:', CAST({id_col} AS STRING))")
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return (
+        docs.withColumn("u", u)
+        .withColumn("w", w)
+        .where(F.col("u") < F.col("w"))
+    )

@@ -1,0 +1,155 @@
+"""Corpus-cleaning operators: cross-doc line dedup, C4 line filters,
+deterministic hash splits and quality sampling (datapipe/clean.py).
+
+Oracles are hand-rolled Python replicas over tiny fixtures; the
+SQL-differential coverage runs in test_entry_oracle.py (queries
+line_dedup / c4_clean / split_counts / qsample).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from powergraph_spark.datapipe import (
+    c4_line_filter,
+    hash_split,
+    line_dedup,
+    quality_sample,
+)
+
+DOCS = [
+    (1, "alpha beta gamma delta eps.\ncommon line here\nunique one"),
+    (2, "common line here\nanother thing entirely\n\n  common line here  "),
+    (3, "common line here"),
+    (4, ""),
+]
+
+
+def _py_line_dedup(docs):
+    """Driver-side replica: global first occurrence by (id, pos)."""
+    lines = []
+    for i, t in docs:
+        ls = [x.strip() for x in t.split("\n")]
+        ls = [x for x in ls if x]
+        for p, l in enumerate(ls):
+            lines.append((i, p, l))
+    first = {}
+    count = {}
+    for i, p, l in lines:
+        count[l] = count.get(l, 0) + 1
+        if l not in first or (i, p) < first[l]:
+            first[l] = (i, p)
+    out = {}
+    for i, t in docs:
+        ls = [x.strip() for x in t.split("\n")]
+        ls = [x for x in ls if x]
+        kept = [
+            l
+            for p, l in enumerate(ls)
+            if count[l] == 1 or first[l] == (i, p)
+        ]
+        out[i] = (len(ls), len(kept), "\n".join(kept))
+    return out
+
+
+def test_line_dedup_first_occurrence(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in line_dedup(docs).collect()
+    }
+    assert got == _py_line_dedup(DOCS)
+    # doc 1 owns the first "common line here"; docs 2/3 lose theirs
+    assert "common line here" in got[1][2]
+    assert "common line here" not in got[2][2]
+    assert got[3] == (1, 0, "")
+    assert got[4] == (0, 0, "")
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, line_dedup(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, line_dedup(docs.repartition(7)).collect()))
+    assert a == b
+
+
+C4_DOCS = [
+    # 3 good lines, one short, one unterminated, one javascript marker
+    (1, "This line has five words.\nshort line.\n"
+        "No terminal punctuation right here at all\n"
+        "Another good line right here!\n"
+        "A third fine sentence stands here.\n"
+        "please enable javascript to view this."),
+    # doc-level lorem ipsum marker kills it despite 4 good lines
+    (2, "lorem ipsum dolor sit amet.\nThis line has five words.\n"
+        "Another good line right here!\n"
+        "A third fine sentence stands here."),
+    # brace marker
+    (3, "function f() { return 1; }\nThis line has five words.\n"
+        "Another good line right here!\nA third fine sentence stands here."),
+    # too few survivors
+    (4, "This line has five words.\nAnother good line right here!"),
+]
+
+
+def test_c4_line_filter_rules(spark):
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter(docs).collect()}
+    assert got[1]["n_lines"] == 6 and got[1]["n_kept"] == 3
+    assert got[1]["kept"] is True
+    assert got[1]["text_clean"].count("\n") == 2
+    assert "javascript" not in got[1]["text_clean"]
+    assert got[2]["kept"] is False  # lorem ipsum doc marker
+    assert got[2]["n_kept"] == 4
+    assert got[3]["kept"] is False  # brace doc marker
+    assert got[4]["kept"] is False  # < min_lines survivors
+
+
+def test_c4_line_filter_zero_shuffle(spark):
+    docs = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    plan = (
+        c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection: no shuffle at any SF
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(ids).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(13)).collect()
+    }
+    assert s1 == s2  # partitioning-invariant
+    # appending rows never reshuffles old assignments
+    more = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(more).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # fractions are roughly honored (md5-uniform; 2000 draws)
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.9) < 0.05
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_quality_sample_threshold_semantics(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 7)) for i in range(200)], "doc_id long, text string"
+    )
+    # weight 0 -> nothing; weight 1 -> everything
+    assert quality_sample(docs, F.lit(0.0)).count() == 0
+    assert quality_sample(docs, F.lit(1.0)).count() == 200
+    # clamping: out-of-range weights behave like 0/1
+    assert quality_sample(docs, F.lit(-3.0)).count() == 0
+    assert quality_sample(docs, F.lit(7.0)).count() == 200
+    # every kept row satisfies u < w and the draw is reproducible
+    kept = quality_sample(docs, F.lit(0.5)).collect()
+    assert 0 < len(kept) < 200
+    assert all(r["u"] < r["w"] for r in kept)
+    again = quality_sample(docs, F.lit(0.5)).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in again
+    )
