@@ -10,11 +10,13 @@ same CLI shape as the repo's other jobs.
 Usage:
     spark-submit --py-files powergraph_spark.zip jobs/datapipe_job.py \
         --documents <parquet with (doc_id, text, ...)> --output <dir> \
-        [--steps quality,repetition,langid,pii,exact_dedup,minhash_dedup] \
+        [--steps quality,repetition,c4,langid,pii,line_dedup,exact_dedup,minhash_dedup] \
         [--min-quality 0.3] [--langs en] [--minhash-threshold 0.8] \
-        [--benchmark <parquet>] [--partitions 4096]
+        [--benchmark <parquet>] [--qsample-seed qsample] \
+        [--split-fractions train=0.9,val=0.05,test=0.05] [--partitions 4096]
 
-Writes <output>/documents (surviving, possibly redacted rows) and
+Writes <output>/documents (surviving, possibly redacted rows;
+partitioned by `split` when --split-fractions is given) and
 <output>/report (one row per step: docs in, docs out). Step order is
 the order given in --steps; every step is a pure DataFrame transform,
 so Catalyst pipelines the cheap expression filters into one pass and
@@ -26,8 +28,8 @@ from __future__ import annotations
 import argparse
 
 ALL_STEPS = [
-    "quality", "repetition", "langid", "pii",
-    "exact_dedup", "minhash_dedup", "decontam",
+    "quality", "repetition", "c4", "langid", "pii",
+    "line_dedup", "exact_dedup", "minhash_dedup", "decontam", "qsample",
 ]
 
 
@@ -49,8 +51,26 @@ def main() -> None:
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet for the decontam step")
     ap.add_argument("--decontam-max-overlap", type=float, default=0.1)
+    ap.add_argument("--qsample-seed", default="qsample",
+                    help="seed string for the qsample step's md5 draw")
+    ap.add_argument("--split-fractions", default=None,
+                    help="e.g. train=0.9,val=0.05,test=0.05 — adds a"
+                         " deterministic `split` column and partitions"
+                         " the output by it")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
+
+    fractions = None
+    if args.split_fractions:
+        try:
+            fractions = {
+                k: float(v)
+                for k, v in (
+                    kv.split("=") for kv in args.split_fractions.split(",")
+                )
+            }
+        except ValueError:
+            ap.error("--split-fractions must be name=frac[,name=frac...]")
 
     steps = [s.strip() for s in args.steps.split(",") if s.strip()]
     unknown = [s for s in steps if s not in ALL_STEPS]
@@ -63,10 +83,14 @@ def main() -> None:
 
     from powergraph_spark import get_spark
     from powergraph_spark.datapipe import (
+        c4_line_filter,
         dedup_exact,
         decontaminate,
+        hash_split,
         lang_id,
+        line_dedup,
         minhash_dedup,
+        quality_sample,
         quality_score,
         repetition_filter,
     )
@@ -89,8 +113,30 @@ def main() -> None:
         elif step == "langid":
             keep = [s.strip() for s in args.langs.split(",") if s.strip()]
             docs = docs.filter(lang_id(text).isin(keep))
+        elif step == "c4":
+            filt = c4_line_filter(
+                docs, id_col=args.id_col, text_col=args.text_col
+            )
+            docs = docs.drop(args.text_col).join(
+                filt.where("kept").select(
+                    args.id_col,
+                    F.col("text_clean").alias(args.text_col),
+                ),
+                args.id_col,
+            )
         elif step == "pii":
             docs = docs.withColumn(args.text_col, redact_pii(text))
+        elif step == "line_dedup":
+            deduped = line_dedup(
+                docs, id_col=args.id_col, text_col=args.text_col
+            )
+            docs = docs.drop(args.text_col).join(
+                deduped.where(F.col("n_kept") > 0).select(
+                    args.id_col,
+                    F.col("text_clean").alias(args.text_col),
+                ),
+                args.id_col,
+            )
         elif step == "exact_dedup":
             docs = dedup_exact(docs, text_col=args.text_col,
                                id_col=args.id_col)
@@ -103,12 +149,21 @@ def main() -> None:
                 docs, bench, max_overlap_frac=args.decontam_max_overlap,
                 id_col=args.id_col, text_col=args.text_col,
             )
+        elif step == "qsample":
+            docs = quality_sample(
+                docs, quality_score(text),
+                id_col=args.id_col, seed=args.qsample_seed,
+            ).drop("u", "w")
         n_out = docs.count()
         report.append((step, n_in, n_out))
         print(f"[datapipe] {step}: {n_in} -> {n_out}")
         n_in = n_out
 
-    docs.write.mode("overwrite").parquet(f"{args.output}/documents")
+    writer = docs.write.mode("overwrite")
+    if fractions:
+        docs = hash_split(docs, id_col=args.id_col, fractions=fractions)
+        writer = docs.write.mode("overwrite").partitionBy("split")
+    writer.parquet(f"{args.output}/documents")
     spark.createDataFrame(
         report, "step string, docs_in long, docs_out long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{args.output}/report")
