@@ -2112,6 +2112,36 @@ def q_qsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GIBBS_BETA = 0.7
+GIBBS_SWEEPS = 2
+
+
+def q_gibbs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chromatic Gibbs sampling (chromatic_sampler.cpp) on a chain
+    Ising model (K=2, beta=0.7): parity coloring, 2 determinized
+    sweeps, md5 draws — exact state replay in the oracle."""
+    from powergraph_spark.algorithms import chromatic_gibbs
+    from powergraph_spark.graph import Graph
+
+    ids = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.id") == F.col("a.id") + 1)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    g = Graph.from_edges(edges, num_partitions=8)
+    colors = ids.select(
+        "id", (F.col("id") % 2).cast("int").alias("color")
+    )
+    res = chromatic_gibbs(
+        g, colors, n_states=2, beta=GIBBS_BETA,
+        sweeps=GIBBS_SWEEPS, seed="gibbs",
+    )
+    return res.state.orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS harness checks the
     FIRST 50 entries. Round-5 rotation (documented in README §correctness):
@@ -2206,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "split_counts": q_split_counts,
         "qsample": q_qsample,
+        "gibbs2": q_gibbs2,
     }
 
 
@@ -3488,6 +3519,57 @@ FROM d WHERE u < w ORDER BY doc_id
 """
 
 
+def _gibbs_sql(beta: float, sweeps: int) -> str:
+    """Exact replay of q_gibbs2: chain und view over documents ids,
+    md5-uniform init, per-(sweep, color) class updates with the same
+    exp / inverse-CDF arithmetic order as algorithms/gibbs.py."""
+
+    def u(tag: str) -> str:
+        h = f"md5('gibbs:{tag}:' || id::VARCHAR)"
+        val = " + ".join(
+            f"(strpos('{_HEX}', substr({h}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        return f"(({val})::DOUBLE / CAST(4294967296 AS DOUBLE))"
+
+    parts = [
+        "ids AS (SELECT doc_id AS id FROM documents)",
+        "e AS (SELECT a.id AS a, b.id AS b FROM ids a"
+        " JOIN ids b ON b.id = a.id + 1)",
+        "und AS MATERIALIZED (SELECT a, b FROM e"
+        " UNION ALL SELECT b AS a, a AS b FROM e)",
+        "verts AS (SELECT DISTINCT a AS id FROM und)",
+        f"s0 AS (SELECT id, CAST(floor({u('init')} * 2) AS INT) AS x"
+        " FROM verts)",
+    ]
+    n = 0
+    for t in range(sweeps):
+        for c in (0, 1):
+            p0 = f"exp({beta!r} * COALESCE(c.c0, 0))"
+            p1 = f"exp({beta!r} * COALESCE(c.c1, 0))"
+            parts.append(
+                f"c{n} AS (SELECT u.b AS id, "
+                "SUM(CASE WHEN s.x = 0 THEN 1 ELSE 0 END) AS c0, "
+                "SUM(CASE WHEN s.x = 1 THEN 1 ELSE 0 END) AS c1 "
+                f"FROM und u JOIN s{n} s ON s.id = u.a "
+                f"WHERE u.b % 2 = {c} GROUP BY u.b)"
+            )
+            parts.append(
+                f"s{n + 1} AS (SELECT s.id, "
+                f"CASE WHEN s.id % 2 = {c} THEN "
+                f"(CASE WHEN {u(f'{t}:{c}')} < {p0} / ({p0} + {p1}) "
+                "THEN 0 ELSE 1 END) "
+                f"ELSE s.x END AS x "
+                f"FROM s{n} s LEFT JOIN c{n} c USING (id))"
+            )
+            n += 1
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, x::INT AS x FROM s{n} ORDER BY id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     E = _SQL_EDGES
     out = {
@@ -4123,6 +4205,7 @@ FROM toks ORDER BY doc_id
         "c4_clean": _c4_clean_sql(),
         "split_counts": _split_counts_sql(),
         "qsample": _qsample_sql(),
+        "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "plaw_alpha": f"""
 WITH {_SQL_EDGES},
 od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),

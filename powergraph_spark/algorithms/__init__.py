@@ -18,6 +18,7 @@ from .eigen import normalize_eigenvector, top_eigenvector
 from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
+from .gibbs import GibbsResult, chromatic_gibbs
 from .jacobi import JacobiResult, jacobi
 from .hits import hits
 from .kmeans import KMeansResult, cluster_sizes, kmeans
@@ -96,6 +97,8 @@ __all__ = [
     "wals",
     "JacobiResult",
     "jacobi",
+    "chromatic_gibbs",
+    "GibbsResult",
     "BiasSGDResult",
     "biassgd",
     "biassgd_predict",
