@@ -25,7 +25,7 @@ def main() -> None:
     ap.add_argument(
         "--algorithm", default="cc",
         choices=["pagerank", "cc", "sssp", "triangles", "kcore",
-                 "coloring", "diameter", "labelprop"],
+                 "coloring", "diameter", "labelprop", "gibbs"],
     )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -33,12 +33,17 @@ def main() -> None:
     ap.add_argument("--source", type=int, default=0,
                     help="sssp source vertex")
     ap.add_argument("--kcore-k", type=int, default=3)
+    ap.add_argument("--gibbs-states", type=int, default=2)
+    ap.add_argument("--gibbs-beta", type=float, default=1.0)
+    ap.add_argument("--gibbs-sweeps", type=int, default=3)
+    ap.add_argument("--seed", default="gibbs")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from powergraph_spark.algorithms import (
         approx_diameter,
+        chromatic_gibbs,
         coloring,
         connected_components,
         kcore_vertices,
@@ -76,6 +81,14 @@ def main() -> None:
     elif a == "diameter":
         hops, _history = approx_diameter(g)
         out = spark.createDataFrame([(int(hops),)], "diameter long")
+    elif a == "gibbs":
+        # Potts/Ising sample: proper coloring first (chromatic
+        # schedule), then determinized class-parallel sweeps
+        out = chromatic_gibbs(
+            g, coloring(g),
+            n_states=args.gibbs_states, beta=args.gibbs_beta,
+            sweeps=args.gibbs_sweeps, seed=args.seed,
+        ).state
     else:  # labelprop
         out = label_propagation(
             g, max_iterations=args.max_iterations
