@@ -2112,6 +2112,43 @@ def q_qsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 64
+PACK_SHARDS = 8
+VOCAB_TOPK = 50
+
+
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: shard-local prefix-sum binning
+    (budget 64 tokens, 8 shards), aggregated per sequence."""
+    from powergraph_spark.datapipe import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(
+        docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def q_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary: top-50 lowercased word bigrams by
+    (count desc, gram asc) with doc frequencies."""
+    from powergraph_spark.datapipe import corpus_ngram_counts
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        corpus_ngram_counts(docs, n=2)
+        .orderBy(F.desc("count"), "gram")
+        .limit(VOCAB_TOPK)
+    )
+
+
 GIBBS_BETA = 0.7
 GIBBS_SWEEPS = 2
 
@@ -2237,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "qsample": q_qsample,
         "gibbs2": q_gibbs2,
+        "packing": q_packing,
+        "vocab2": q_vocab2,
     }
 
 
@@ -3519,6 +3558,56 @@ FROM d WHERE u < w ORDER BY doc_id
 """
 
 
+def _packing_sql(budget: int, shards: int) -> str:
+    """Mirror of pack_sequences: same tokenizer, shard = id mod
+    n_shards, bin = floor(preceding_tokens / budget) via a shard-
+    partitioned running sum."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {shards} AS shard,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+'))
+          END)::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard::INT AS shard,
+       CAST(floor((cum - n_tokens) / {float(budget)!r}) AS BIGINT) AS bin,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS sum_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _vocab_sql(n: int, topk: int) -> str:
+    """Mirror of corpus_ngram_counts(n) + top-k: lowercased word
+    n-grams (same _word_ngrams chunk rule as the repetition oracle)."""
+    gcol = (
+        f"CASE WHEN len(ltoks) >= {n} THEN"
+        f" list_transform(generate_series(1, len(ltoks) - {n - 1}),"
+        f" i -> array_to_string(ltoks[i:i+{n - 1}], ' '))"
+        " ELSE []::VARCHAR[] END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({gcol}) AS gram FROM base
+)
+SELECT gram, COUNT(*)::BIGINT AS count,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM g GROUP BY gram
+ORDER BY count DESC, gram ASC LIMIT {topk}
+"""
+
+
 def _gibbs_sql(beta: float, sweeps: int) -> str:
     """Exact replay of q_gibbs2: chain und view over documents ids,
     md5-uniform init, per-(sweep, color) class updates with the same
@@ -4206,6 +4295,8 @@ FROM toks ORDER BY doc_id
         "split_counts": _split_counts_sql(),
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
+        "packing": _packing_sql(PACK_BUDGET, PACK_SHARDS),
+        "vocab2": _vocab_sql(2, VOCAB_TOPK),
         "plaw_alpha": f"""
 WITH {_SQL_EDGES},
 od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),

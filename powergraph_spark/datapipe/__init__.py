@@ -2,6 +2,7 @@ from .clean import (
     c4_line_filter,
     hash_split,
     line_dedup,
+    pack_sequences,
     quality_sample,
     split_lines,
 )
@@ -32,6 +33,7 @@ from .similarity import (
 )
 from .text import (
     bpe_token_count,
+    corpus_ngram_counts,
     doc_fingerprint,
     dup_line_char_fraction,
     dup_line_fraction,
@@ -59,5 +61,5 @@ __all__ = [
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
     "contamination", "decontaminate",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
-    "quality_sample",
+    "quality_sample", "pack_sequences", "corpus_ngram_counts",
 ]

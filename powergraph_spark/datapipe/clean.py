@@ -220,3 +220,53 @@ def quality_sample(
         .withColumn("w", w)
         .where(F.col("u") < F.col("w"))
     )
+
+
+# ---------------------------------------------------- sequence packing
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    streaming contiguous packing: within a shard, docs are taken in id
+    order and a doc starts in bin floor(preceding_tokens / budget) —
+    the greedy "open a new sequence when the budget is crossed" rule,
+    deterministic and SQL-replayable.
+
+    Scale shape: the running sum is a window partitioned by shard
+    (shard = id mod n_shards), NEVER a global window — each shard's
+    prefix sum is one partition-local sort, so 100 TB packs with
+    n_shards-way parallelism and no single-task bottleneck. Docs
+    longer than the budget get bins to themselves (they straddle bin
+    boundaries; a downstream tokenizer truncates or splits).
+
+    Returns (id_col, shard, bin, n_tokens) — (shard, bin) is the
+    sequence key.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    toks = token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("bin"),
+        "n_tokens",
+    )

@@ -305,3 +305,33 @@ def pii_counts(col: Column) -> list[Column]:
         .cast("long").alias(f"n_{kind}")
         for kind, (pat, _r) in PII_PATTERNS.items()
     ]
+
+
+# ---------------------------------------------- corpus vocabulary stats
+def corpus_ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide lowercased word n-gram counts — the vocabulary /
+    merge-statistics pass a tokenizer-training pipeline runs first.
+
+    Classic wordcount shape: explode → hash aggregate (map-side
+    partial combine is automatic), so the shuffle carries one
+    (gram, partial_count) row per distinct gram per partition, never
+    the corpus. Returns (gram, n_docs, count) where count sums every
+    occurrence and n_docs counts distinct documents containing it.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    out = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out

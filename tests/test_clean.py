@@ -153,3 +153,63 @@ def test_quality_sample_threshold_semantics(spark):
     assert sorted(r["doc_id"] for r in kept) == sorted(
         r["doc_id"] for r in again
     )
+
+
+def test_pack_sequences_replica(spark):
+    from powergraph_spark.datapipe import pack_sequences
+
+    docs = [(i, "w " * ((i * 13) % 37 + 1)) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["n_tokens"])
+        for r in pack_sequences(df, budget=50, n_shards=4).collect()
+    }
+    # python replica: shard-local prefix sums in id order
+    cum = {}
+    for i, t in docs:
+        n = len(t.split())
+        s = i % 4
+        prev = cum.get(s, 0)
+        assert got[i] == (s, prev // 50, n), (i, got[i], (s, prev // 50, n))
+        cum[s] = prev + n
+    # every doc present exactly once
+    assert len(got) == 60
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from powergraph_spark.datapipe import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 9 + 1)) for i in range(80)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(df.repartition(1), 30, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(11), 30, 4).collect()))
+    assert a == b
+
+
+def test_corpus_ngram_counts_replica(spark):
+    from collections import Counter
+
+    from powergraph_spark.datapipe import corpus_ngram_counts
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "THE CAT ran"),
+        (3, "one"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["gram"]: (r["count"], r["n_docs"])
+        for r in corpus_ngram_counts(df, n=2).collect()
+    }
+    total, per_doc = Counter(), {}
+    for i, t in docs:
+        toks = [x.lower() for x in t.split()]
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        total.update(grams)
+        for g in set(grams):
+            per_doc[g] = per_doc.get(g, 0) + 1
+    assert got == {g: (c, per_doc[g]) for g, c in total.items()}
+    assert got["the cat"] == (2, 2)  # lowercased across docs
