@@ -2149,6 +2149,24 @@ def q_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector max-abs
+    scale (5dp) + md5 over the full code array pins every int."""
+    from powergraph_spark.datapipe import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    return qd.select(
+        "vec_id",
+        F.round("scale", 5).alias("scale"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("q"), lambda x: x.cast("string")), ","
+            )
+        ).alias("q_md5"),
+    ).orderBy("vec_id")
+
+
 GIBBS_BETA = 0.7
 GIBBS_SWEEPS = 2
 
@@ -2276,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gibbs2": q_gibbs2,
         "packing": q_packing,
         "vocab2": q_vocab2,
+        "quantize8": q_quantize8,
     }
 
 
@@ -4297,6 +4316,23 @@ FROM toks ORDER BY doc_id
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "packing": _packing_sql(PACK_BUDGET, PACK_SHARDS),
         "vocab2": _vocab_sql(2, VOCAB_TOPK),
+        "quantize8": """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v),
+q AS (SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v,
+                       x -> CAST(round(x / scale * 127.0) AS INT))
+                  ELSE list_transform(v, x -> 0) END AS q
+      FROM s)
+SELECT vec_id, ROUND(scale, 5) AS scale,
+       md5(array_to_string(q, ',')) AS q_md5
+FROM q ORDER BY vec_id
+""",
         "plaw_alpha": f"""
 WITH {_SQL_EDGES},
 od AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),

@@ -27,9 +27,11 @@ from .multimodal import (
 from .similarity import (
     brute_force_topk,
     cosine,
+    dequantize_embeddings,
     embedding_near_dups,
     ivf_topk,
     lsh_topk,
+    quantize_embeddings,
 )
 from .text import (
     bpe_token_count,
@@ -62,4 +64,5 @@ __all__ = [
     "contamination", "decontaminate",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
+    "quantize_embeddings", "dequantize_embeddings",
 ]

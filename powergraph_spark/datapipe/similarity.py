@@ -307,3 +307,45 @@ def embedding_bucket_histogram(
         .agg(F.count(F.lit(1)).alias("n_buckets"))
         .orderBy("bucket_size")
     )
+
+
+# ------------------------------------------------ embedding quantization
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (default int8): each
+    vector scales by its max-abs so q_i = round(x_i / scale * (2^(b-1)
+    - 1)) — the storage-compression pass an embedding corpus runs
+    before ANN indexing (4x smaller than float32 at b=8).
+
+    Pure JVM array expressions (cast to double first so float inputs
+    quantize identically everywhere); all-zero vectors get scale 0 and
+    all-zero codes. Returns (id_col, scale, q:array<int>).
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale * qmax).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q",
+    scale_col: str = "scale",
+    bits: int = 8,
+) -> DataFrame:
+    """Inverse of quantize_embeddings: x̂_i = q_i * scale / qmax,
+    appended as a `dequantized` array<double> column."""
+    qmax = float(2 ** (bits - 1) - 1)
+    deq = F.transform(
+        F.col(q_col),
+        lambda x: x.cast("double") * F.col(scale_col) / qmax,
+    )
+    return df.withColumn("dequantized", deq)

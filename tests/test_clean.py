@@ -213,3 +213,30 @@ def test_corpus_ngram_counts_replica(spark):
             per_doc[g] = per_doc.get(g, 0) + 1
     assert got == {g: (c, per_doc[g]) for g, c in total.items()}
     assert got["the cat"] == (2, 2)  # lowercased across docs
+
+
+def test_quantize_roundtrip_and_edges(spark):
+    from powergraph_spark.datapipe import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),       # all-zero -> scale 0, codes 0
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert q[1]["scale"] == 1.0 and q[1]["q"] == [127, -64, 32, 0]
+    assert q[2]["scale"] == 0.0 and q[2]["q"] == [0, 0, 0, 0]
+    assert q[3]["q"] == [-127, 127, 64, -64]
+    # roundtrip error bounded by scale / (2 * 127) per component
+    deq = {
+        r["vec_id"]: r["dequantized"]
+        for r in dequantize_embeddings(quantize_embeddings(df)).collect()
+    }
+    for vid, emb in rows:
+        s = max(abs(x) for x in emb)
+        for a, b in zip(deq[vid], emb):
+            assert abs(a - b) <= s / 254 + 1e-12
