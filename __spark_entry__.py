@@ -2149,6 +2149,26 @@ def q_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot dedup: newest capture per canonical URL over a
+    synthesized re-crawl (doc_id%50 pages, 5 mirror sites, messy URLs
+    through the full canonicalization chain; ties broken url/id-asc)."""
+    from powergraph_spark.webtext import latest_capture
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.selectExpr(
+        "doc_id",
+        "concat('HTTP://Site', CAST(doc_id % 5 AS STRING),"
+        " '.Example.com:80/p/', CAST(doc_id % 50 AS STRING),"
+        " '?utm_source=x&gclid=', CAST(doc_id AS STRING), '#f') AS url",
+        "CAST((doc_id * 37) % 1000 AS LONG) AS warc_ts",
+    )
+    out = latest_capture(pages, id_col="doc_id")
+    return out.select("canon_url", "doc_id", "warc_ts").orderBy(
+        "canon_url"
+    )
+
+
 def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization: per-vector max-abs
     scale (5dp) + md5 over the full code array pins every int."""
@@ -2295,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing": q_packing,
         "vocab2": q_vocab2,
         "quantize8": q_quantize8,
+        "latest_capture": q_latest_capture,
     }
 
 
@@ -4314,6 +4335,38 @@ FROM toks ORDER BY doc_id
         "split_counts": _split_counts_sql(),
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
+        "latest_capture": r"""
+WITH pages AS (
+  SELECT doc_id,
+         'HTTP://Site' || (doc_id % 5)::VARCHAR || '.Example.com:80/p/'
+         || (doc_id % 50)::VARCHAR || '?utm_source=x&gclid='
+         || doc_id::VARCHAR || '#f' AS url,
+         ((doc_id * 37) % 1000)::BIGINT AS warc_ts
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url, warc_ts,
+    regexp_replace(trim(url), '#.*$', '') AS u1,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(u1,
+      '([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u2,
+    lower(regexp_extract(u2, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS ss,
+    lower(regexp_extract(u2, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+      AS sa,
+    regexp_replace(u2, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS sr,
+    CASE WHEN ss = 'http' THEN regexp_replace(sa, ':80$', '')
+         WHEN ss = 'https' THEN regexp_replace(sa, ':443$', '')
+         ELSE sa END AS sa2,
+    regexp_replace(CASE WHEN ss <> '' THEN ss || '://' || sa2 || sr
+                        ELSE u2 END, '/$', '') AS canon_url
+  FROM pages
+)
+SELECT canon_url, doc_id, warc_ts
+FROM canon
+QUALIFY ROW_NUMBER() OVER (PARTITION BY canon_url
+  ORDER BY warc_ts DESC, url ASC, doc_id ASC) = 1
+ORDER BY canon_url
+""",
         "packing": _packing_sql(PACK_BUDGET, PACK_SHARDS),
         "vocab2": _vocab_sql(2, VOCAB_TOPK),
         "quantize8": """

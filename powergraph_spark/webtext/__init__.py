@@ -1,7 +1,7 @@
 from .extract import extract_pages, link_pairs, links_expr, text_expr
 from .ingest import audit_collisions, pages_to_graph, url_id
 from .pages import expected_edges, generate_pages, write_pages_table
-from .urls import canonicalize_url, host_graph, host_of
+from .urls import canonicalize_url, host_graph, host_of, latest_capture
 
 __all__ = [
     "extract_pages",
@@ -15,6 +15,6 @@ __all__ = [
     "write_pages_table",
     "expected_edges",
     "canonicalize_url",
-    "host_of",
+    "host_of", "latest_capture",
     "host_graph",
 ]

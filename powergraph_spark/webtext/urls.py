@@ -99,3 +99,35 @@ def host_graph(
     return out.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Crawl-snapshot dedup: keep only the NEWEST capture of each
+    canonical URL — the first pass a Common-Crawl-style ingest runs so
+    re-crawled pages don't enter the corpus twice.
+
+    One shuffle on the canonical-URL key; group sizes are captures-
+    per-page, so Spark 4's WindowGroupLimit keeps the rank-1 filter
+    partial (no full group materialization at 100 TB). Deterministic
+    total order: ts desc, then raw url asc, then ``id_col`` asc when
+    given (ties on all keys would make the survivor arbitrary —
+    supply ``id_col`` when captures can share url AND timestamp).
+    Adds ``canon_url`` and returns only the surviving rows.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.desc(ts_col), F.asc(url_col)]
+    if id_col:
+        keys.append(F.asc(id_col))
+    w = Window.partitionBy("canon_url").orderBy(*keys)
+    return (
+        df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

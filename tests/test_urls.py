@@ -106,3 +106,43 @@ def test_host_graph_from_synthetic_crawl(spark, tmp_path):
     assert len(hosts) == 7
     total = hg.agg(F.sum("weight")).first()[0]
     assert total == pairs.count()
+
+
+def test_latest_capture_keeps_newest_per_canonical_url(spark):
+    from powergraph_spark.webtext import latest_capture
+
+    rows = [
+        # same canonical page, three captures (tracking params differ)
+        (1, "HTTP://A.com:80/x?utm_source=a", 100),
+        (2, "http://a.com/x?gclid=zz", 300),
+        (3, "http://a.com/x", 200),
+        # distinct page
+        (4, "https://b.com/y/", 50),
+        # timestamp tie -> url asc wins, then id asc
+        (5, "http://c.com/z?utm_c=1", 70),
+        (6, "http://c.com/z", 70),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    out = {r["canon_url"]: r for r in
+           latest_capture(df, id_col="doc_id").collect()}
+    assert set(out) == {"http://a.com/x", "https://b.com/y", "http://c.com/z"}
+    assert out["http://a.com/x"]["doc_id"] == 2      # newest capture
+    assert out["https://b.com/y"]["doc_id"] == 4
+    assert out["http://c.com/z"]["doc_id"] == 6      # tie -> url asc
+
+
+def test_latest_capture_partitioning_invariant(spark):
+    from powergraph_spark.webtext import latest_capture
+
+    df = spark.createDataFrame(
+        [(i, f"http://s{i % 7}.com/p{i % 11}?gclid={i}", (i * 13) % 97)
+         for i in range(200)],
+        "doc_id long, url string, warc_ts long",
+    )
+    a = sorted(map(tuple,
+                   latest_capture(df.repartition(1), id_col="doc_id")
+                   .collect()))
+    b = sorted(map(tuple,
+                   latest_capture(df.repartition(9), id_col="doc_id")
+                   .collect()))
+    assert a == b
