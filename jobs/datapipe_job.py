@@ -57,6 +57,11 @@ def main() -> None:
                     help="e.g. train=0.9,val=0.05,test=0.05 — adds a"
                          " deterministic `split` column and partitions"
                          " the output by it")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="token budget per training sequence; when set,"
+                         " writes <output>/sequences with the (shard,"
+                         " bin) packing key per doc")
+    ap.add_argument("--pack-shards", type=int, default=1024)
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -164,6 +169,14 @@ def main() -> None:
         docs = hash_split(docs, id_col=args.id_col, fractions=fractions)
         writer = docs.write.mode("overwrite").partitionBy("split")
     writer.parquet(f"{args.output}/documents")
+    if args.pack_budget:
+        from powergraph_spark.datapipe import pack_sequences
+
+        pack_sequences(
+            docs, budget=args.pack_budget, n_shards=args.pack_shards,
+            id_col=args.id_col, text_col=args.text_col,
+        ).write.mode("overwrite").parquet(f"{args.output}/sequences")
+        print(f"[datapipe] wrote packing keys to {args.output}/sequences")
     spark.createDataFrame(
         report, "step string, docs_in long, docs_out long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{args.output}/report")
