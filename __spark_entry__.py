@@ -2149,6 +2149,30 @@ def q_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text link extraction over synthesized html (entities,
+    mixed case, embedded newline) — the full JVM regex chain replayed
+    in RE2/DuckDB."""
+    from powergraph_spark.webtext import anchor_pairs
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    html = (
+        "concat('<html><body><a href=\"http://s',"
+        " CAST(doc_id % 7 AS STRING), '.example.com/p/',"
+        " CAST(doc_id % 13 AS STRING), '\">anchor ',"
+        " CAST(doc_id AS STRING), ' &amp;  more</a><p>pad</p>',"
+        " CASE WHEN doc_id % 3 = 0 THEN"
+        " concat('<A href=\"http://t.example.com/q\" class=\"z\">second',"
+        " char(10), ' link &lt;x&gt;</A>') ELSE '' END,"
+        " '</body></html>')"
+    )
+    pages = docs.selectExpr(
+        "concat('http://src/', CAST(doc_id AS STRING)) AS url",
+        f"encode({html}, 'UTF-8') AS html",
+    )
+    return anchor_pairs(pages).orderBy("src_url", "dst_url", "anchor")
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot dedup: newest capture per canonical URL over a
     synthesized re-crawl (doc_id%50 pages, 5 mirror sites, messy URLs
@@ -2316,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab2": q_vocab2,
         "quantize8": q_quantize8,
         "latest_capture": q_latest_capture,
+        "anchors": q_anchors,
     }
 
 
@@ -4335,6 +4360,40 @@ FROM toks ORDER BY doc_id
         "split_counts": _split_counts_sql(),
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
+        "anchors": r"""
+WITH p AS (
+  SELECT 'http://src/' || doc_id::VARCHAR AS src_url,
+    '<html><body><a href="http://s' || (doc_id % 7)::VARCHAR ||
+    '.example.com/p/' || (doc_id % 13)::VARCHAR || '">anchor ' ||
+    doc_id::VARCHAR || ' &amp;  more</a><p>pad</p>' ||
+    CASE WHEN doc_id % 3 = 0 THEN
+      '<A href="http://t.example.com/q" class="z">second' || chr(10)
+      || ' link &lt;x&gt;</A>' ELSE '' END ||
+    '</body></html>' AS html
+  FROM documents
+),
+els AS (
+  SELECT src_url, unnest(regexp_extract_all(html,
+    '(?is)<a\s[^>]*?href="[^"]*"[^>]*>.*?</a>', 0)) AS e
+  FROM p
+),
+x AS (
+  SELECT src_url,
+     regexp_extract(e, '(?i)href="([^"]*)"', 1) AS dst_url,
+     trim(regexp_replace(
+       replace(replace(replace(replace(replace(
+         regexp_replace(
+           regexp_replace(regexp_replace(e, '(?is)^<a[^>]*>', ''),
+                          '(?is)</a>$', ''),
+           '<[^>]*>', ' ', 'g'),
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         '&amp;', '&'),
+       '[ \t\n\r\f]+', ' ', 'g')) AS anchor
+  FROM els
+)
+SELECT src_url, dst_url, anchor FROM x
+ORDER BY src_url, dst_url, anchor
+""",
         "latest_capture": r"""
 WITH pages AS (
   SELECT doc_id,

@@ -65,3 +65,56 @@ def link_pairs(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src_url"),
         F.explode(links_expr(F.col("html"))).alias("dst_url"),
     )
+
+
+_ANCHOR_EL = r'(?is)<a\s[^>]*?href="[^"]*"[^>]*>.*?</a>'
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&")]
+
+
+def anchor_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor): one row per link occurrence with
+    its anchor text — the classic web-corpus enrichment (anchor text
+    is a training/label signal FOR THE TARGET page, aggregated after a
+    shuffle on dst_url).
+
+    Anchor text gets the same cleanup chain as text_expr (tag strip,
+    entity decode in the pinned order, ASCII whitespace normalize) so
+    anchors and page text tokenize identically downstream. Pure JVM
+    regex pipeline like the rest of this module — zero Python.
+    """
+    els = F.regexp_extract_all(
+        _strip_blocks(F.col(html_col)), F.lit(_ANCHOR_EL), 0
+    )
+    ex = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(els).alias("__e")
+    )
+    href = F.regexp_extract("__e", r'(?i)href="([^"]*)"', 1)
+    inner = F.regexp_replace(
+        F.regexp_replace(F.col("__e"), r"(?is)^<a[^>]*>", ""),
+        r"(?is)</a>$",
+        "",
+    )
+    inner = F.regexp_replace(inner, _TAG, " ")
+    for ent, ch in _ENTITIES:
+        inner = F.replace(inner, F.lit(ent), F.lit(ch))
+    inner = F.trim(F.regexp_replace(inner, _WS, " "))
+    return ex.select(
+        "src_url", href.alias("dst_url"), inner.alias("anchor")
+    )
+
+
+def anchor_texts(
+    pairs: DataFrame, max_anchors: int = 32
+) -> DataFrame:
+    """Aggregate anchors per target page: (dst_url, n_links,
+    anchors) with anchors the sorted-deduped first ``max_anchors``
+    texts — bounded state per key, one partial-agg shuffle."""
+    return pairs.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.slice(
+            F.array_sort(F.collect_set("anchor")), 1, max_anchors
+        ).alias("anchors"),
+    )

@@ -114,3 +114,60 @@ def test_reference_parser_edge_cases():
     text, links = parse_page(html)
     assert text == "A &lt; B C one \"q's\" > trailing"
     assert links == ["http://x/1"]
+
+
+def test_anchor_pairs_matches_python_replica(spark):
+    """anchor_pairs over the generated pages table == a row-wise
+    python replica of the same pinned regex/cleanup chain."""
+    import re
+
+    from powergraph_spark.webtext import anchor_pairs
+
+    pages = generate_pages(spark, 80, n_sites=8, seed=42)
+    got = sorted(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in anchor_pairs(pages).collect()
+    )
+
+    el_re = re.compile(
+        r'<a\s[^>]*?href="[^"]*"[^>]*>.*?</a>', re.DOTALL | re.IGNORECASE
+    )
+    href_re = re.compile(r'href="([^"]*)"', re.IGNORECASE)
+    open_re = re.compile(r"^<a[^>]*>", re.DOTALL | re.IGNORECASE)
+    close_re = re.compile(r"</a>$", re.DOTALL | re.IGNORECASE)
+    script_re = re.compile(
+        r"<script\b[^>]*>.*?</script>", re.DOTALL | re.IGNORECASE
+    )
+    style_re = re.compile(
+        r"<style\b[^>]*>.*?</style>", re.DOTALL | re.IGNORECASE
+    )
+    want = []
+    for r in pages.select("url", "html").collect():
+        s = r["html"].decode("utf-8")
+        s = script_re.sub(" ", s)
+        s = style_re.sub(" ", s)
+        for el in el_re.findall(s):
+            href = href_re.search(el).group(1)
+            inner = close_re.sub("", open_re.sub("", el))
+            inner = re.sub(r"<[^>]*>", " ", inner)
+            for ent, ch in [("&lt;", "<"), ("&gt;", ">"),
+                            ("&quot;", '"'), ("&#39;", "'"),
+                            ("&amp;", "&")]:
+                inner = inner.replace(ent, ch)
+            inner = re.sub(r"[ \t\n\r\f]+", " ", inner).strip()
+            want.append((r["url"], href, inner))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_anchor_texts_aggregates_per_target(spark):
+    from powergraph_spark.webtext import anchor_pairs, anchor_texts
+
+    pages = generate_pages(spark, 60, n_sites=4, seed=7)
+    pairs = anchor_pairs(pages)
+    agg = {r["dst_url"]: r for r in anchor_texts(pairs).collect()}
+    n_pairs = pairs.count()
+    assert sum(r["n_links"] for r in agg.values()) == n_pairs
+    for r in agg.values():
+        assert r["anchors"] == sorted(set(r["anchors"]))
+        assert len(r["anchors"]) <= 32
