@@ -2211,6 +2211,26 @@ def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+WALK_LEN = 3
+
+
+def q_walks3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic walk corpus: 1 walk of up to 3
+    steps per vertex over the directed co-occurrence graph (src<dst
+    edges give plenty of absorbing dead ends); md5 step draws replayed
+    index-for-index in the oracle."""
+    from powergraph_spark.algorithms import random_walks
+
+    g = _co_graph(spark, sf_dir, P=16)
+    res = random_walks(g, walks_per_vertex=1, length=WALK_LEN)
+    return res.walks.select(
+        "start",
+        F.array_join(
+            F.transform(F.col("path"), lambda x: x.cast("string")), ","
+        ).alias("path"),
+    ).orderBy("start")
+
+
 GIBBS_BETA = 0.7
 GIBBS_SWEEPS = 2
 
@@ -2341,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize8": q_quantize8,
         "latest_capture": q_latest_capture,
         "anchors": q_anchors,
+        "walks3": q_walks3,
     }
 
 
@@ -3673,6 +3694,45 @@ ORDER BY count DESC, gram ASC LIMIT {topk}
 """
 
 
+def _walks_sql(length: int) -> str:
+    """Exact replay of q_walks3: dst-sorted edge index + per-step
+    md5 draw floor(u * out_degree); dead ends absorb."""
+
+    def u(t: int) -> str:
+        h = f"md5('walk:{t}:' || s.start::VARCHAR || ':0')"
+        val = " + ".join(
+            f"(strpos('{_HEX}', substr({h}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        return f"(({val})::DOUBLE / CAST(4294967296 AS DOUBLE))"
+
+    parts = [
+        "eidx AS MATERIALIZED (SELECT src, dst,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos"
+        " FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "s0 AS (SELECT id AS start, id AS cur, id::VARCHAR AS path"
+        " FROM v)",
+    ]
+    for t in range(length):
+        parts.append(
+            f"s{t + 1} AS (SELECT s.start, "
+            "COALESCE(x.dst, s.cur) AS cur, "
+            "CASE WHEN x.dst IS NOT NULL THEN s.path || ',' || "
+            "x.dst::VARCHAR ELSE s.path END AS path "
+            f"FROM s{t} s "
+            "LEFT JOIN deg d ON d.src = s.cur "
+            "LEFT JOIN eidx x ON x.src = s.cur AND x.pos = "
+            f"CAST(floor({u(t)} * d.d) AS BIGINT))"
+        )
+    return (
+        f"WITH {_SQL_EDGES.strip().rstrip()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT start, path FROM s{length} ORDER BY start"
+    )
+
+
 def _gibbs_sql(beta: float, sweeps: int) -> str:
     """Exact replay of q_gibbs2: chain und view over documents ids,
     md5-uniform init, per-(sweep, color) class updates with the same
@@ -4360,6 +4420,7 @@ FROM toks ORDER BY doc_id
         "split_counts": _split_counts_sql(),
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
+        "walks3": _walks_sql(WALK_LEN),
         "anchors": r"""
 WITH p AS (
   SELECT 'http://src/' || doc_id::VARCHAR AS src_url,

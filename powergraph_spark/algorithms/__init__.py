@@ -19,6 +19,7 @@ from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .gibbs import GibbsResult, chromatic_gibbs
+from .walks import WalkResult, random_walks
 from .jacobi import JacobiResult, jacobi
 from .hits import hits
 from .kmeans import KMeansResult, cluster_sizes, kmeans
@@ -99,6 +100,8 @@ __all__ = [
     "jacobi",
     "chromatic_gibbs",
     "GibbsResult",
+    "random_walks",
+    "WalkResult",
     "BiasSGDResult",
     "biassgd",
     "biassgd_predict",
