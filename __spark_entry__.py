@@ -2211,6 +2211,15 @@ def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM perplexity signal, self-trained on
+    the corpus (CCNet/KenLM-style quality filtering)."""
+    from powergraph_spark.datapipe import bigram_lm_scores
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
 WALK_LEN = 3
 
 
@@ -2362,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "anchors": q_anchors,
         "walks3": q_walks3,
+        "lm_score": q_lm_score,
     }
 
 
@@ -4421,6 +4431,45 @@ FROM toks ORDER BY doc_id
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "walks3": _walks_sql(WALK_LEN),
+        "lm_score": f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(ltoks) AS w FROM base) GROUP BY w
+),
+nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
+grams AS MATERIALIZED (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ltoks) >= 2 THEN
+      list_transform(generate_series(1, len(ltoks) - 1),
+                     i -> array_to_string(ltoks[i:i+1], ' '))
+    ELSE []::VARCHAR[] END) AS g
+  FROM base
+),
+bi AS MATERIALIZED (SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g),
+db AS (SELECT doc_id, g,
+              string_split(g, ' ')[1] AS w1,
+              string_split(g, ' ')[2] AS w2
+       FROM grams),
+j AS (
+  SELECT d.doc_id,
+         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12::DOUBLE / u1.c1)
+              ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1)::DOUBLE
+                      / (SELECT n + v FROM nv)) END AS lp
+  FROM db d LEFT JOIN bi b USING (g)
+  LEFT JOIN uni u1 ON u1.w = d.w1
+  LEFT JOIN uni u2 ON u2.w = d.w2
+),
+s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(lp), 5) AS avg_logprob
+      FROM j GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(s.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+""",
         "anchors": r"""
 WITH p AS (
   SELECT 'http://src/' || doc_id::VARCHAR AS src_url,

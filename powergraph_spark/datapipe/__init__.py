@@ -34,6 +34,7 @@ from .similarity import (
     quantize_embeddings,
 )
 from .text import (
+    bigram_lm_scores,
     bpe_token_count,
     corpus_ngram_counts,
     doc_fingerprint,
@@ -65,4 +66,5 @@ __all__ = [
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",
+    "bigram_lm_scores",
 ]

@@ -335,3 +335,86 @@ def corpus_ngram_counts(
     if min_count > 1:
         out = out.filter(F.col("count") >= min_count)
     return out
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score documents under a bigram language model with stupid
+    backoff (Brants et al. 2007, public) — the CCNet/KenLM-style
+    perplexity-quality signal, self-trained when ``lm_docs`` is None.
+
+    seen bigram:   lp = ln(c(w1 w2) / c(w1))
+    unseen:        lp = ln(alpha * (c(w2) + 1) / (N + V))   (Laplace
+    backoff so out-of-vocabulary w2 stays finite).
+
+    Scale shape: the LM is two count tables (wordcount shuffles with
+    map-side combine); scoring is three shuffle joins on gram/word
+    keys — no driver-side model except the two scalars N (token count)
+    and V (vocab size) folded in as literals. Returns (id_col,
+    n_bigrams, avg_logprob) with avg_logprob rounded 5dp (0.0 for
+    docs with < 2 tokens).
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    ltoks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    uni = (
+        lm.select(F.explode(ltoks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        lm.select(F.explode(_word_ngrams(F.col(text_col), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    row = uni.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    N, V = int(row["n"] or 0), int(row["v"] or 0)
+
+    db = docs.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), 2)).alias("g"),
+    ).select(
+        id_col,
+        "g",
+        F.split(F.col("g"), " ")[0].alias("w1"),
+        F.split(F.col("g"), " ")[1].alias("w2"),
+    )
+    j = (
+        db.join(bi.hint("shuffle_hash"), "g", "left")
+        .join(
+            uni.selectExpr("w AS w1", "c1").hint("shuffle_hash"),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.selectExpr("w AS w2", "c1 AS c2").hint("shuffle_hash"),
+            "w2",
+            "left",
+        )
+    )
+    lp = F.when(
+        F.col("c12").isNotNull(),
+        F.log(F.col("c12").cast("double") / F.col("c1")),
+    ).otherwise(
+        F.log(
+            F.lit(alpha)
+            * (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / F.lit(float(N + V))
+        )
+    )
+    scored = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(lp), 5).alias("avg_logprob"),
+    )
+    base = docs.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+    )

@@ -240,3 +240,44 @@ def test_quantize_roundtrip_and_edges(spark):
         s = max(abs(x) for x in emb)
         for a, b in zip(deq[vid], emb):
             assert abs(a - b) <= s / 254 + 1e-12
+
+
+def test_bigram_lm_scores_replica(spark):
+    import math
+    from collections import Counter
+
+    from powergraph_spark.datapipe import bigram_lm_scores
+
+    lm = [(1, "the cat sat on the mat"), (2, "the cat ran away")]
+    score = [(10, "the cat sat"), (11, "purple zebra the cat"),
+             (12, "one"), (13, "")]
+    lmdf = spark.createDataFrame(lm, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(sdf, lm_docs=lmdf).collect()
+    }
+
+    uni, bi = Counter(), Counter()
+    for _, t in lm:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    N, V = sum(uni.values()), len(uni)
+    for i, t in score:
+        toks = t.lower().split()
+        grams = [" ".join(toks[k:k + 2]) for k in range(len(toks) - 1)]
+        if not grams:
+            assert got[i] == (0, 0.0)
+            continue
+        lps = []
+        for g in grams:
+            w1, w2 = g.split(" ")
+            if bi[g] > 0:
+                lps.append(math.log(bi[g] / uni[w1]))
+            else:
+                lps.append(math.log(0.4 * (uni[w2] + 1) / (N + V)))
+        want = round(sum(lps) / len(lps), 5)
+        assert got[i] == (len(grams), want), (i, got[i], want)
+    # seen text scores higher than OOV-heavy text
+    assert got[10][1] > got[11][1]
