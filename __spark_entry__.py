@@ -2211,6 +2211,15 @@ def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_tfidf5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per doc (smoothed idf, deterministic
+    score/term tie order)."""
+    from powergraph_spark.datapipe import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=5).orderBy("doc_id", "rank")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram stupid-backoff LM perplexity signal, self-trained on
     the corpus (CCNet/KenLM-style quality filtering)."""
@@ -2372,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": q_anchors,
         "walks3": q_walks3,
         "lm_score": q_lm_score,
+        "tfidf5": q_tfidf5,
     }
 
 
@@ -4431,6 +4441,32 @@ FROM toks ORDER BY doc_id
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "walks3": _walks_sql(WALK_LEN),
+        "tfidf5": f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
+  FROM documents
+),
+pairs AS (SELECT doc_id, unnest(ltoks) AS term FROM base),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dn AS (SELECT COUNT(*) AS d FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln(((SELECT d FROM dn) + 1)::DOUBLE / (f.df + 1))
+                 + 1.0) AS score
+  FROM tf t JOIN dfreq f USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank::INT AS rank, ROUND(score, 5) AS score
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+""",
         "lm_score": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks

@@ -47,6 +47,7 @@ from .text import (
     repetition_filter,
     repetition_stats,
     text_stats,
+    tfidf_top_terms,
     token_count,
     top_ngram_char_fraction,
 )
@@ -66,5 +67,5 @@ __all__ = [
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",
-    "bigram_lm_scores",
+    "bigram_lm_scores", "tfidf_top_terms",
 ]

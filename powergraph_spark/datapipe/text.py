@@ -418,3 +418,51 @@ def bigram_lm_scores(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k tf-idf terms per document (smoothed idf, the sklearn
+    formulation: idf = ln((D + 1) / (df + 1)) + 1, public) — keyword
+    extraction / topic tagging for corpus curation.
+
+    Two wordcount-shaped aggregations (term-frequency per doc, doc-
+    frequency per term), one shuffle-hash join on the term key, and a
+    per-doc top-k window (WindowGroupLimit keeps it partial). D is the
+    only driver scalar. Deterministic ties: score desc, term asc.
+    Returns (id_col, term, rank, score 5dp).
+    """
+    ltoks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    pairs = docs.select(F.col(id_col), F.explode(ltoks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    D = docs.count()
+    scored = tf.join(dfreq.hint("shuffle_hash"), "term").withColumn(
+        "score",
+        F.col("tf")
+        * (
+            F.log(
+                F.lit(float(D + 1))
+                / (F.col("df") + 1).cast("double")
+            )
+            + F.lit(1.0)
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "term", "rank", F.round("score", 5).alias("score")
+        )
+    )

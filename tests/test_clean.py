@@ -281,3 +281,44 @@ def test_bigram_lm_scores_replica(spark):
         assert got[i] == (len(grams), want), (i, got[i], want)
     # seen text scores higher than OOV-heavy text
     assert got[10][1] > got[11][1]
+
+
+def test_tfidf_top_terms_replica(spark):
+    import math
+    from collections import Counter
+
+    from powergraph_spark.datapipe import tfidf_top_terms
+
+    docs = [
+        (1, "apple apple banana cherry"),
+        (2, "banana banana banana date"),
+        (3, "apple cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["term"], r["rank"], r["score"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    )
+
+    D = len(docs)
+    dfreq = Counter()
+    tfs = {}
+    for i, t in docs:
+        c = Counter(t.lower().split())
+        tfs[i] = c
+        dfreq.update(c.keys())
+    want = []
+    for i, _ in docs:
+        scored = sorted(
+            (
+                (-tf * (math.log((D + 1) / (dfc + 1)) + 1), term)
+                for term, tf in tfs[i].items()
+                for dfc in [dfreq[term]]
+            ),
+        )
+        for rank, (neg, term) in enumerate(scored[:2], start=1):
+            want.append((i, term, rank, round(-neg, 5)))
+    assert got == sorted(want)
+    # rare terms outrank ubiquitous ones at equal tf
+    top1 = {r[0]: r[1] for r in got if r[2] == 1}
+    assert top1[1] == "apple" and top1[2] == "banana"
