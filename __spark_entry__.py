@@ -2211,6 +2211,26 @@ def q_quantize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the deterministic quadratic
+    functional graph i -> (i*i + 7) mod N (rho-shaped: cycles of
+    several sizes + long tails). Oracle = INDEPENDENT transitive-
+    closure semantics (mutual reachability), not a replay."""
+    from powergraph_spark.algorithms import scc
+    from powergraph_spark.graph import Graph
+
+    ids = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n = ids.count()
+    edges = ids.selectExpr(
+        "id AS src", f"(id * id + 7) % {n} AS dst"
+    ).filter("src <> dst")
+    g = Graph.from_edges(edges, num_partitions=8)
+    res = scc(g)
+    return res.state.orderBy("id")
+
+
 def q_tfidf5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tf-idf terms per doc (smoothed idf, deterministic
     score/term tie order)."""
@@ -2382,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks3": q_walks3,
         "lm_score": q_lm_score,
         "tfidf5": q_tfidf5,
+        "scc": q_scc,
     }
 
 
@@ -4441,6 +4462,24 @@ FROM toks ORDER BY doc_id
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "walks3": _walks_sql(WALK_LEN),
+        "scc": """
+WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+ed AS MATERIALIZED (
+  SELECT id AS src, (id * id + 7) % (SELECT n FROM nn) AS dst
+  FROM ids
+  WHERE (id * id + 7) % (SELECT n FROM nn) <> id
+),
+verts AS (SELECT src AS id FROM ed UNION SELECT dst AS id FROM ed),
+r AS (SELECT src AS a, dst AS b FROM ed
+      UNION
+      SELECT r.a, e.dst FROM r JOIN ed e ON e.src = r.b),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)
+SELECT i.id, GREATEST(i.id, COALESCE(MAX(m.u), i.id))::BIGINT AS scc
+FROM verts i LEFT JOIN mut m ON m.v = i.id
+GROUP BY i.id ORDER BY i.id
+""",
         "tfidf5": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks

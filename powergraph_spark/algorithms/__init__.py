@@ -19,6 +19,7 @@ from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .gibbs import GibbsResult, chromatic_gibbs
+from .scc import SCCResult, scc
 from .walks import WalkResult, random_walks
 from .jacobi import JacobiResult, jacobi
 from .hits import hits
@@ -102,6 +103,8 @@ __all__ = [
     "GibbsResult",
     "random_walks",
     "WalkResult",
+    "scc",
+    "SCCResult",
     "BiasSGDResult",
     "biassgd",
     "biassgd_predict",
