@@ -25,7 +25,8 @@ def main() -> None:
     ap.add_argument(
         "--algorithm", default="cc",
         choices=["pagerank", "cc", "sssp", "triangles", "kcore",
-                 "coloring", "diameter", "labelprop", "gibbs"],
+                 "coloring", "diameter", "labelprop", "gibbs", "scc",
+                 "walks"],
     )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -37,6 +38,8 @@ def main() -> None:
     ap.add_argument("--gibbs-beta", type=float, default=1.0)
     ap.add_argument("--gibbs-sweeps", type=int, default=3)
     ap.add_argument("--seed", default="gibbs")
+    ap.add_argument("--walk-length", type=int, default=10)
+    ap.add_argument("--walks-per-vertex", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +52,8 @@ def main() -> None:
         kcore_vertices,
         label_propagation,
         pagerank,
+        random_walks,
+        scc,
         sssp,
         triangle_count,
     )
@@ -81,6 +86,13 @@ def main() -> None:
     elif a == "diameter":
         hops, _history = approx_diameter(g)
         out = spark.createDataFrame([(int(hops),)], "diameter long")
+    elif a == "scc":
+        out = scc(g).state
+    elif a == "walks":
+        out = random_walks(
+            g, walks_per_vertex=args.walks_per_vertex,
+            length=args.walk_length, seed=args.seed,
+        ).walks
     elif a == "gibbs":
         # Potts/Ising sample: proper coloring first (chromatic
         # schedule), then determinized class-parallel sweeps

@@ -97,6 +97,9 @@ def scc(
         )
 
         # ---- 1. trim to exhaustion -------------------------------
+        # live/e_live handles owned here: every replaced persist is
+        # released (the initial ones — remaining/er — are released by
+        # the phase epilogue, so only trim-created ones unpersist)
         live = remaining
         e_live = er
         trimmed: list[DataFrame] = []
@@ -121,9 +124,10 @@ def scc(
                 .select("id", F.col("id").alias("scc"))
             )
             trimmed.append(peeled)
+            old_live, old_elive = live, e_live
             live = _persist(keep.repartition(P, "id"))
             e_live = _persist(
-                e_live.join(
+                old_elive.join(
                     live.selectExpr("id AS src").hint("shuffle_hash"),
                     "src",
                 )
@@ -134,6 +138,10 @@ def scc(
                 .select("src", "dst")
                 .repartition(P, "src")
             )
+            if old_live is not remaining:
+                old_live.unpersist()
+            if old_elive is not er:
+                old_elive.unpersist()
             if n_keep == 0:
                 break
         assigned.extend(trimmed)
@@ -141,6 +149,10 @@ def scc(
             print(f"[scc] phase {phases}: trim left {live.count()}")
         if live.count() == 0:
             er.unpersist()
+            if live is not remaining:
+                live.unpersist()
+            if e_live is not er:
+                e_live.unpersist()
             remaining.unpersist()
             remaining = _persist(
                 graph.vertices.sparkSession.createDataFrame(
@@ -236,6 +248,10 @@ def scc(
         )
         er.unpersist()
         ec.unpersist()
+        if live is not remaining:
+            live.unpersist()
+        if e_live is not er:
+            e_live.unpersist()
         remaining.unpersist()
         remaining = new_rem
 
