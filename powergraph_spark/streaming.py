@@ -242,3 +242,42 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup_captures(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+):
+    """Streaming crawl-snapshot dedup: drop re-captures of the same
+    canonical URL arriving within the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark, so a continuous crawl never accumulates unbounded
+    seen-URL state). The batch ``webtext.latest_capture`` remains the
+    periodic authoritative compaction (newest-wins); this in-flight
+    filter keeps exact re-crawls from ever landing in the corpus.
+    Returns the StreamingQuery; available_now drains current input.
+    """
+    from .webtext.urls import canonicalize_url
+
+    schema = spark.read.parquet(pages_dir).schema
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    deduped = (
+        pages.withColumn("canon_url", canonicalize_url(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canon_url"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

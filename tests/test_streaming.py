@@ -311,3 +311,49 @@ def test_sessionize_far_past_event_splits_session(spark, tmp_path):
     assert len(got) == 2  # [00:00] alone and [01:40, 01:50]
     assert got[0][1] == got[0][2] == t0 and got[0][3] == 1
     assert got[1][1] == t0 + datetime.timedelta(minutes=100)
+
+
+def test_stream_dedup_captures_matches_batch_canon_set(spark, tmp_path):
+    """Streaming snapshot dedup emits exactly one row per canonical
+    URL, and the canon set equals the batch canonicalization's."""
+    from datetime import datetime
+
+    from powergraph_spark.streaming import stream_dedup_captures
+    from powergraph_spark.webtext import canonicalize_url
+
+    rows = []
+    for i in range(40):
+        # 3 messy variants per logical page -> 3 captures each
+        base = f"http://s{i % 5}.example.com/p/{i % 10}"
+        for j, u in enumerate([
+            base.upper().replace("HTTP://", "HTTP://"),
+            base + f"?utm_source=x{i}",
+            base + "/",
+        ]):
+            rows.append(
+                (u, datetime(2026, 1, 1, j, i % 60), b"<html></html>",
+                 "t", "en")
+            )
+    pages_dir = str(tmp_path / "cap_in")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    ).write.parquet(pages_dir)
+
+    out = str(tmp_path / "cap_out")
+    stream_dedup_captures(
+        spark, pages_dir, out, str(tmp_path / "cap_ck"),
+        available_now=True,
+    )
+    got = spark.read.parquet(out)
+    batch_canon = {
+        r["c"]
+        for r in spark.read.parquet(pages_dir)
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .distinct()
+        .collect()
+    }
+    out_rows = got.collect()
+    assert {r["canon_url"] for r in out_rows} == batch_canon
+    assert len(out_rows) == len(batch_canon)  # exactly one per canon
