@@ -2299,6 +2299,58 @@ def q_gibbs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.orderBy("id")
 
 
+def q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal (Lee et al. 2022 shape):
+    per-doc fraction of token positions covered by a word-8-gram whose
+    fingerprint occurs >=2 times in the whole corpus."""
+    from powergraph_spark.datapipe import span_dup_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dup_stats(docs, k=8).orderBy("doc_id")
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup clustering: MinHash-LSH candidates (md5
+    family) -> exact Jaccard >= 0.8 -> min-label connected components
+    over the dup-pair graph. One row per doc that participates in a
+    near-dup cluster; `cluster` = min doc_id of its component (the
+    keep-first survivor)."""
+    from powergraph_spark.algorithms import connected_components
+    from powergraph_spark.datapipe import (
+        jaccard_pairs, minhash_lsh_candidates,
+    )
+    from powergraph_spark.graph import Graph
+
+    docs = _load(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=16, k=3,
+        hash_family="md5", max_bucket=MINHASH_CAP,
+    )
+    dups = jaccard_pairs(docs, cands, k=3).filter(F.col("jaccard") >= 0.8)
+    g = Graph.from_edges(
+        dups.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        num_partitions=8,
+    )
+    res = connected_components(g)
+    return res.state.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    ).orderBy("doc_id")
+
+def q_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal surgery: corpus-wide first occurrence
+    (min (doc_id, pos)) of each duplicated word-8-gram is kept, every
+    other occurrence's token interval is excised; rebuilt text is
+    md5-pinned so the oracle compares the exact surviving bytes."""
+    from powergraph_spark.datapipe import span_dedup_rewrite
+    from powergraph_spark.datapipe.text import token_count
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    reb = span_dedup_rewrite(docs, k=8)
+    return reb.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_kept"),
+        F.md5("text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS harness checks the
     FIRST 50 entries. Round-5 rotation (documented in README §correctness):
@@ -2403,6 +2455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "tfidf5": q_tfidf5,
         "scc": q_scc,
+        "span_dup": q_span_dup,
+        "dup_clusters": q_dup_clusters,
+        "span_rewrite": q_span_rewrite,
     }
 
 
@@ -2578,6 +2633,49 @@ scored AS (
 SELECT id_a, id_b,
        ROUND(CASE WHEN ulen > 0 THEN ilen / ulen ELSE 0.0 END, 5) AS jaccard
 FROM scored ORDER BY id_a, id_b
+"""
+
+
+def _dup_clusters_sql(num_hashes: int, bands: int, k: int, cap: int,
+                      thr: float) -> str:
+    """Jaccard-verified LSH pairs -> transitive closure (recursive
+    CTE) -> min-reachable-id component label, mirroring min-label CC."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_hashes, bands, k, cap)},
+sharr AS MATERIALIZED (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= {k} THEN list_transform(
+        generate_series(1, len(t) - {k - 1}),
+        i -> array_to_string(t[i:i+{k - 1}], ' '))
+    ELSE t END) AS sh
+  FROM toks
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE AS ilen,
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+           AS ulen
+  FROM cand c
+  JOIN sharr a ON a.doc_id = c.id_a
+  JOIN sharr b ON b.doc_id = c.id_b
+),
+dup AS MATERIALIZED (
+  SELECT id_a, id_b FROM scored
+  WHERE ROUND(CASE WHEN ulen > 0 THEN ilen / ulen ELSE 0.0 END, 5) >= {thr}
+),
+und AS (SELECT id_a AS a, id_b AS b FROM dup
+        UNION SELECT id_b, id_a FROM dup),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+),
+members AS (SELECT DISTINCT a AS id FROM und),
+lab AS (
+  SELECT m.id, LEAST(m.id, MIN(r.b))::BIGINT AS component
+  FROM members m LEFT JOIN reach r ON r.a = m.id GROUP BY m.id
+)
+SELECT id AS doc_id, component AS cluster FROM lab ORDER BY doc_id
 """
 
 
@@ -4730,6 +4828,103 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 5) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "dup_clusters": _dup_clusters_sql(32, 16, 3, MINHASH_CAP, 0.8),
+        "span_dup": f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS gram
+  FROM base,
+       unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t) - 7)
+                   ELSE []::BIGINT[] END) AS u(i)
+),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+dpos AS (
+  SELECT o.doc_id, o.pos, o.pos + 8 AS e FROM occ o JOIN dup USING (gram)
+),
+cov AS (
+  SELECT doc_id, pos, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pme
+  FROM dpos
+),
+per AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, e - GREATEST(pos, COALESCE(pme, pos))))::BIGINT
+           AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
+       COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       ROUND(CASE WHEN len(b.t) > 0
+                  THEN COALESCE(p.dup_tokens, 0)::DOUBLE / len(b.t)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM base b LEFT JOIN per p USING (doc_id)
+ORDER BY b.doc_id
+""",
+        "span_rewrite": f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS gram
+  FROM base,
+       unnest(CASE WHEN len(t) >= 8 THEN generate_series(1, len(t) - 7)
+                   ELSE []::BIGINT[] END) AS u(i)
+),
+own AS (
+  SELECT gram, min((doc_id, pos)) AS own
+  FROM occ GROUP BY gram HAVING COUNT(*) >= 2
+),
+rem AS (
+  SELECT o.doc_id, o.pos, o.pos + 8 AS e
+  FROM occ o JOIN own w USING (gram)
+  WHERE (o.doc_id, o.pos) <> w.own
+),
+cov AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ng
+  FROM rem
+),
+grp AS (
+  SELECT doc_id, pos, e,
+         SUM(ng) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS g
+  FROM cov
+),
+mint AS (
+  SELECT doc_id, g, MIN(pos) AS s, MAX(e) AS me FROM grp GROUP BY doc_id, g
+),
+cpos AS (
+  SELECT doc_id, unnest(generate_series(s, me - 1)) AS cp FROM mint
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS i, t[i] AS tok
+  FROM base, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp ANTI JOIN cpos c
+    ON c.doc_id = tp.doc_id AND c.cp = tp.i
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       md5(COALESCE(r.txt, '')) AS clean_md5
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY b.doc_id
 """,
     }
     # incremental CC must land on the SAME full-graph fixpoint

@@ -10,7 +10,7 @@ same CLI shape as the repo's other jobs.
 Usage:
     spark-submit --py-files powergraph_spark.zip jobs/datapipe_job.py \
         --documents <parquet with (doc_id, text, ...)> --output <dir> \
-        [--steps quality,repetition,c4,langid,pii,line_dedup,exact_dedup,minhash_dedup] \
+        [--steps quality,repetition,c4,langid,pii,line_dedup,exact_dedup,minhash_dedup,span_filter,span_rewrite] \
         [--min-quality 0.3] [--langs en] [--minhash-threshold 0.8] \
         [--benchmark <parquet>] [--qsample-seed qsample] \
         [--split-fractions train=0.9,val=0.05,test=0.05] [--partitions 4096]
@@ -29,7 +29,8 @@ import argparse
 
 ALL_STEPS = [
     "quality", "repetition", "c4", "langid", "pii",
-    "line_dedup", "exact_dedup", "minhash_dedup", "decontam", "qsample",
+    "line_dedup", "exact_dedup", "minhash_dedup", "span_filter",
+    "span_rewrite", "decontam", "qsample",
 ]
 
 
@@ -48,6 +49,12 @@ def main() -> None:
     ap.add_argument("--langs", default="en",
                     help="comma-separated lang_id values to keep")
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--span-k", type=int, default=8,
+                    help="word k-gram size for the span_filter /"
+                         " span_rewrite steps")
+    ap.add_argument("--span-max-dup-frac", type=float, default=0.5,
+                    help="span_filter drops docs whose duplicated-span"
+                         " token fraction exceeds this")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet for the decontam step")
     ap.add_argument("--decontam-max-overlap", type=float, default=0.1)
@@ -84,9 +91,19 @@ def main() -> None:
     if "decontam" in steps and not args.benchmark:
         ap.error("--benchmark is required for the decontam step")
 
+    from powergraph_spark import get_spark
+
+    spark = get_spark(app_name="datapipe-job",
+                      shuffle_partitions=args.partitions)
+    run(spark, args, steps, fractions)
+    spark.stop()
+
+
+def run(spark, args, steps, fractions=None) -> None:
+    """Pipeline body, spark-session-injectable (tests drive it with
+    the shared local session; main() owns session lifecycle)."""
     from pyspark.sql import functions as F
 
-    from powergraph_spark import get_spark
     from powergraph_spark.datapipe import (
         c4_line_filter,
         dedup_exact,
@@ -98,11 +115,11 @@ def main() -> None:
         quality_sample,
         quality_score,
         repetition_filter,
+        span_dedup_filter,
+        span_dedup_rewrite,
     )
     from powergraph_spark.datapipe.text import redact_pii
 
-    spark = get_spark(app_name="datapipe-job",
-                      shuffle_partitions=args.partitions)
     docs = spark.read.parquet(args.documents)
     if args.partitions:
         docs = docs.repartition(args.partitions, args.id_col)
@@ -148,6 +165,18 @@ def main() -> None:
         elif step == "minhash_dedup":
             docs = minhash_dedup(docs, threshold=args.minhash_threshold,
                                  text_col=args.text_col, id_col=args.id_col)
+        elif step == "span_filter":
+            docs = span_dedup_filter(
+                docs, max_dup_frac=args.span_max_dup_frac,
+                text_col=args.text_col, id_col=args.id_col,
+                k=args.span_k,
+            )
+        elif step == "span_rewrite":
+            rewritten = span_dedup_rewrite(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                k=args.span_k,
+            )
+            docs = docs.drop(args.text_col).join(rewritten, args.id_col)
         elif step == "decontam":
             bench = spark.read.parquet(args.benchmark)
             docs = decontaminate(
@@ -181,7 +210,6 @@ def main() -> None:
         report, "step string, docs_in long, docs_out long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{args.output}/report")
     print(f"[datapipe] wrote {n_in} docs to {args.output}/documents")
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import token_count, tokens
 
 # ------------------------------------------------------------------ exact
 
@@ -403,3 +403,219 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
     return pairs.select(
         "id_a", "id_b", simhash_hamming("h_a", "h_b").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------- cross-doc exact span dedup
+
+
+def positional_gram_hashes(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """(doc_id, pos, gram): one row per word-k-gram OCCURRENCE with its
+    0-based start-token position and md5 fingerprint. Unlike
+    word_shingles (distinct, membership-only), positions are kept so
+    duplicated SPANS can be localized inside each document.
+
+    100 TB shape: output cardinality = corpus token count (inherent to
+    substring-level dedup — suffix-array methods touch every position
+    too); rows are narrow (long, int, 32-char hash) and flow straight
+    into one partial-agg'd shuffle on the gram hash."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
+def span_dup_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 8,
+                   min_count: int = 2) -> DataFrame:
+    """Exact substring-level dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when it is covered by a word-k-gram
+    whose fingerprint occurs >= min_count times in the whole corpus
+    (cross-doc or repeated within one doc). Per doc, overlapping
+    duplicated k-gram intervals [pos, pos+k) are unioned via a
+    running-max window, yielding
+
+        (doc_id, n_tokens, dup_tokens, dup_frac)
+
+    with dup_frac = dup_tokens / n_tokens rounded to 6 digits (0.0 for
+    empty docs). Docs with no duplicated span are kept with 0s.
+
+    Execution plan (scale notes): occurrence table -> groupBy(gram)
+    count (partial agg, shuffle #1) -> leftsemi back onto the
+    occurrences (same gram key, no re-shuffle of the filtered side
+    under AQE) -> per-doc running-max window + sum (shuffle #2 on
+    doc_id, bounded by document length) -> left join onto per-doc token
+    counts. No all-pairs comparison anywhere; the only data-dependent
+    blowup is the honest one (every token position is fingerprinted
+    once)."""
+    from pyspark.sql import Window
+
+    occ = positional_gram_hashes(docs, text_col, id_col, k)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    duppos = occ.join(dup, "gram", "leftsemi")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        duppos.withColumn("_end", F.col("pos") + F.lit(k))
+        .withColumn("_pme", F.max("_end").over(w))
+        .withColumn(
+            "_new",
+            F.greatest(
+                F.lit(0),
+                F.col("_end")
+                - F.greatest(F.col("pos"), F.coalesce("_pme", "pos")),
+            ),
+        )
+    )
+    per = covered.groupBy("doc_id").agg(
+        F.sum("_new").cast("long").alias("dup_tokens")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return (
+        base.join(per, "doc_id", "left")
+        .fillna(0, ["dup_tokens"])
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("dup_tokens").cast("double") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def span_dedup_filter(docs: DataFrame, max_dup_frac: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8, min_count: int = 2) -> DataFrame:
+    """Keep documents whose duplicated-span token fraction is
+    <= max_dup_frac (symmetric policy: every copy of a heavily
+    duplicated document is dropped; pair with dedup_exact /
+    minhash_dedup for keep-one canonicalization of full-doc dups)."""
+    stats = span_dup_stats(docs, text_col, id_col, k, min_count)
+    keep = stats.filter(F.col("dup_frac") <= max_dup_frac).select("doc_id")
+    return docs.join(
+        keep.withColumnRenamed("doc_id", id_col), id_col, "leftsemi"
+    )
+
+
+def span_dedup_rewrite(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       min_count: int = 2) -> DataFrame:
+    """Single-pass duplicated-span REMOVAL (the surgery variant of
+    span_dup_stats, Lee et al. 2022 shape): for every word-k-gram
+    fingerprint occurring >= min_count times corpus-wide, the
+    lexicographically first occurrence by (doc_id, pos) is the OWNER
+    and is kept; every other occurrence marks its [pos, pos+k) token
+    interval removable. Per doc, removable intervals are unioned and
+    the covered tokens excised; the document is rebuilt as the
+    surviving tokens joined by single spaces (token-level surgery —
+    original inter-token whitespace is normalized). One pass: the
+    rewritten corpus may still contain shorter residual duplicates.
+
+    Returns (id_col, text_col) with `text_col` rewritten ('' when
+    everything was removed or the doc was empty).
+
+    100 TB shape: fingerprint occurrences (corpus-token-count rows,
+    same table span_dup_stats builds) -> one partial-agg'd shuffle on
+    gram computing (count, min(doc,pos)) together -> removable
+    intervals -> per-doc running-max MERGE to disjoint intervals
+    (doc-bounded window) -> explode merged intervals to covered
+    positions (<= corpus token count rows, never k-times inflated) ->
+    anti-join against positional tokens -> per-doc ordered
+    re-assembly. Every stage is bounded by corpus token count; no
+    per-doc quadratic exists()-over-intervals scan."""
+    from pyspark.sql import Window
+
+    occ = positional_gram_hashes(docs, text_col, id_col, k)
+    own = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("doc_id", "pos")).alias("_own"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("gram", "_own")
+    )
+    rem = (
+        occ.join(own, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_own.doc_id"))
+                & (F.col("pos") == F.col("_own.pos"))
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k)).alias("_e"))
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        rem.withColumn("_pme", F.max("_e").over(wprev))
+        .withColumn(
+            "_ng",
+            F.when(
+                F.col("_pme").isNull() | (F.col("pos") > F.col("_pme")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_g", F.sum("_ng").over(wrun))
+        .groupBy("doc_id", "_g")
+        .agg(F.min("pos").alias("_s"), F.max("_e").alias("_me"))
+    )
+    covered = merged.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("_s"), F.col("_me") - 1)).alias("_i"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_i", "_tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "_i"], "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("_txt")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(reb, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("_txt", F.lit("")).alias(text_col),
+        )
+    )

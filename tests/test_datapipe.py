@@ -388,3 +388,120 @@ def test_contamination_and_decontaminate(spark):
     kept = sorted(r["doc_id"] for r in
                   decontaminate(corpus, bench, k=4, max_overlap_frac=0.5).collect())
     assert kept == [11, 12]
+
+
+# ---------------------------------------------- cross-doc span dedup
+
+
+def test_span_dup_stats_hand_computed(spark):
+    """k=4, min_count=2: doc0/doc3 are exact dups (all five 4-gram
+    intervals duplicated, union covers all 8 tokens); doc1 shares only
+    its leading 4-gram with them; doc2 is unique; doc4 is empty."""
+    from powergraph_spark.datapipe import span_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d x y z w"),
+            (2, "q r s t u v"),
+            (3, "a b c d e f g h"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in span_dup_stats(docs, k=4).collect()
+    }
+    assert got == {
+        0: (8, 8, 1.0),
+        1: (8, 4, 0.5),
+        2: (6, 0, 0.0),
+        3: (8, 8, 1.0),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_span_dup_overlap_union_not_double_counted(spark):
+    """Within-doc repetition: 'a b a b a b a b' has 4-grams at pos
+    0..4, all equal in PAIRS ((0,2,4)='a b a b'... actually grams at
+    even/odd positions alternate between 'a b a b' and 'b a b a', each
+    occurring >=2 times) -> the union must cover the whole doc exactly
+    once (8 tokens), not sum interval lengths (20)."""
+    from powergraph_spark.datapipe import span_dup_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b a b")], ["doc_id", "text"]
+    )
+    row = span_dup_stats(docs, k=4).collect()[0]
+    assert (row["n_tokens"], row["dup_tokens"], row["dup_frac"]) == (8, 8, 1.0)
+
+
+def test_span_dedup_filter_drops_heavy_dups(spark):
+    from powergraph_spark.datapipe import span_dedup_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d x y z w"),
+            (2, "q r s t u v"),
+            (3, "a b c d e f g h"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in span_dedup_filter(docs, max_dup_frac=0.5, k=4).collect()
+    )
+    assert kept == [1, 2]
+
+
+def test_span_dedup_rewrite_keeps_first_occurrence(spark):
+    """Owner = min (doc_id, pos): doc0 keeps all text, doc3 (its exact
+    dup) is fully excised, doc1 loses only the shared leading 4-gram,
+    unique and empty docs pass through."""
+    from powergraph_spark.datapipe import span_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d x y z w"),
+            (2, "q r s t u v"),
+            (3, "a b c d e f g h"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in span_dedup_rewrite(docs, k=4).collect()}
+    assert got == {
+        0: "a b c d e f g h",
+        1: "x y z w",
+        2: "q r s t u v",
+        3: "",
+        4: "",
+    }
+
+
+def test_span_dedup_rewrite_within_doc_repetition(spark):
+    """'a b a b a b a b': removable non-owner occurrences union to
+    [2,8) — the first period survives, the echo is excised."""
+    from powergraph_spark.datapipe import span_dedup_rewrite
+
+    docs = spark.createDataFrame([(0, "a b a b a b a b")],
+                                 ["doc_id", "text"])
+    assert span_dedup_rewrite(docs, k=4).collect()[0]["text"] == "a b"
+
+
+def test_span_dedup_rewrite_partition_invariant(spark):
+    """Same rewrite at 1 and 7 input partitions (ownership is a global
+    min, not an arrival-order artifact)."""
+    from powergraph_spark.datapipe import span_dedup_rewrite
+
+    rows = [(i, "w x y z " + f"u{i} " * 3) for i in range(6)]
+    rows += [(10 + i, "w x y z p q r s") for i in range(3)]
+    a = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+    b = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    ga = sorted(map(tuple, span_dedup_rewrite(a, k=4).collect()))
+    gb = sorted(map(tuple, span_dedup_rewrite(b, k=4).collect()))
+    assert ga == gb
