@@ -2351,6 +2351,26 @@ def q_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("clean_md5"),
     ).orderBy("doc_id")
 
+QLR_DIM = 8
+QLR_LR = 0.5
+
+
+def q_qlr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-BoW logistic-regression quality classifier, 2 full-batch
+    GD steps, label = (lang == 'en'): returns the dim+1 weights (bias
+    last). Deterministic from zero-init + md5 feature hashing; the
+    oracle unrolls both steps (step 1 has p = 0.5 everywhere)."""
+    from powergraph_spark.datapipe.classifier import train_quality_lr
+
+    docs = _load(spark, sf_dir, "documents")
+    w = train_quality_lr(
+        docs, F.col("lang") == "en", dim=QLR_DIM, steps=2, lr=QLR_LR,
+    )
+    out = spark.createDataFrame(
+        [(j, float(v)) for j, v in enumerate(w)], "j int, w double"
+    )
+    return out.select("j", F.round("w", 5).alias("w")).orderBy("j")
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS harness checks the
     FIRST 50 entries. Round-5 rotation (documented in README §correctness):
@@ -2458,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup": q_span_dup,
         "dup_clusters": q_dup_clusters,
         "span_rewrite": q_span_rewrite,
+        "qlr2": q_qlr2,
     }
 
 
@@ -2676,6 +2697,62 @@ lab AS (
   FROM members m LEFT JOIN reach r ON r.a = m.id GROUP BY m.id
 )
 SELECT id AS doc_id, component AS cluster FROM lab ORDER BY doc_id
+"""
+
+
+def _sql_md5_u32(hcol: str) -> str:
+    """Integer form of _sql_md5_u: first 8 md5 nibbles as a u32
+    (mirrors classifier.hash_bucket before the mod)."""
+    return "(" + " + ".join(
+        f"(strpos('{_HEX}', substr({hcol}, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    ) + ")"
+
+
+def _qlr_sql(dim: int, lr: float) -> str:
+    """Two unrolled GD steps of the hashed-BoW logistic regression.
+    Step 1: w0 = 0 so every p = 0.5; step 2 scores from w1. The j
+    domain is seeded so zero-weight buckets still emit rows."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS t,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM base),
+bkt AS (
+  SELECT doc_id, {_sql_md5_u32("md5(tok)")} % {dim} AS j FROM tok
+),
+feat AS MATERIALIZED (
+  SELECT doc_id, j, COUNT(*)::DOUBLE AS x FROM bkt GROUP BY doc_id, j
+  UNION ALL
+  SELECT doc_id, {dim} AS j, 1.0 AS x FROM base
+),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM base),
+dom AS (SELECT unnest(generate_series(0, {dim})) AS j),
+g1 AS (
+  SELECT f.j, SUM((0.5 - b.y) * f.x) / (SELECT n FROM nn) AS g
+  FROM feat f JOIN base b USING (doc_id) GROUP BY f.j
+),
+w1 AS (
+  SELECT d.j, -{lr} * COALESCE(g1.g, 0.0) AS w
+  FROM dom d LEFT JOIN g1 USING (j)
+),
+z2 AS (
+  SELECT f.doc_id, SUM(f.x * w.w) AS z
+  FROM feat f JOIN w1 w USING (j) GROUP BY f.doc_id
+),
+p2 AS (
+  SELECT b.doc_id, b.y,
+         1.0 / (1.0 + exp(-COALESCE(z.z, 0.0))) AS p
+  FROM base b LEFT JOIN z2 z USING (doc_id)
+),
+g2 AS (
+  SELECT f.j, SUM((p.p - p.y) * f.x) / (SELECT n FROM nn) AS g
+  FROM feat f JOIN p2 p USING (doc_id) GROUP BY f.j
+)
+SELECT w1.j::INT AS j, ROUND(w1.w - {lr} * COALESCE(g2.g, 0.0), 5) AS w
+FROM w1 LEFT JOIN g2 USING (j) ORDER BY w1.j
 """
 
 
@@ -4866,6 +4943,7 @@ SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,
 FROM base b LEFT JOIN per p USING (doc_id)
 ORDER BY b.doc_id
 """,
+        "qlr2": _qlr_sql(QLR_DIM, QLR_LR),
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents

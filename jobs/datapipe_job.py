@@ -30,7 +30,7 @@ import argparse
 ALL_STEPS = [
     "quality", "repetition", "c4", "langid", "pii",
     "line_dedup", "exact_dedup", "minhash_dedup", "span_filter",
-    "span_rewrite", "decontam", "qsample",
+    "span_rewrite", "qlr", "decontam", "qsample",
 ]
 
 
@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--span-max-dup-frac", type=float, default=0.5,
                     help="span_filter drops docs whose duplicated-span"
                          " token fraction exceeds this")
+    ap.add_argument("--qlr-label-col", default=None,
+                    help="0/1 column the qlr step trains its hashed-BoW"
+                         " logistic-regression quality filter on"
+                         " (required for the qlr step)")
+    ap.add_argument("--qlr-dim", type=int, default=64)
+    ap.add_argument("--qlr-steps", type=int, default=20)
+    ap.add_argument("--qlr-min-prob", type=float, default=0.5)
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet for the decontam step")
     ap.add_argument("--decontam-max-overlap", type=float, default=0.1)
@@ -90,6 +97,8 @@ def main() -> None:
         ap.error(f"unknown steps {unknown}; choose from {ALL_STEPS}")
     if "decontam" in steps and not args.benchmark:
         ap.error("--benchmark is required for the decontam step")
+    if "qlr" in steps and not args.qlr_label_col:
+        ap.error("--qlr-label-col is required for the qlr step")
 
     from powergraph_spark import get_spark
 
@@ -177,6 +186,20 @@ def run(spark, args, steps, fractions=None) -> None:
                 k=args.span_k,
             )
             docs = docs.drop(args.text_col).join(rewritten, args.id_col)
+        elif step == "qlr":
+            from powergraph_spark.datapipe import (
+                quality_lr_filter, train_quality_lr,
+            )
+
+            weights = train_quality_lr(
+                docs, F.col(args.qlr_label_col),
+                text_col=args.text_col, dim=args.qlr_dim,
+                steps=args.qlr_steps,
+            )
+            docs = quality_lr_filter(
+                docs, weights, min_prob=args.qlr_min_prob,
+                text_col=args.text_col,
+            )
         elif step == "decontam":
             bench = spark.read.parquet(args.benchmark)
             docs = decontaminate(

@@ -85,3 +85,25 @@ def test_datapipe_job_filter_dedup_split(spark, tmp_path):
     assert ids == list(range(8))  # dup 100 dropped, originals survive
     assert set(docs.columns) >= {"doc_id", "text", "split"}
     assert {r["split"] for r in docs.collect()} <= {"train", "val"}
+
+
+def test_datapipe_job_qlr_step(spark, tmp_path):
+    src = str(tmp_path / "docs3")
+    out = str(tmp_path / "out3")
+    rows = [(i, "good clean prose sentence article " + f"n{i % 3}", 1)
+            for i in range(20)]
+    rows += [(100 + i, "spam junk click buy cheap " + f"m{i % 3}", 0)
+             for i in range(20)]
+    spark.createDataFrame(rows, ["doc_id", "text", "label"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    args = _args(documents=src, output=out, qlr_label_col="label",
+                 qlr_dim=16, qlr_steps=30, qlr_min_prob=0.5)
+    datapipe_job.run(spark, args, ["qlr"])
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/documents").collect()
+    )
+    assert ids == list(range(20))
