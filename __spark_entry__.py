@@ -366,12 +366,34 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_oracle_sql(k: int = KMEANS_K,
-                       rounds: int = KMEANS_ROUNDS) -> str:
-    """Unrolled DuckDB twin of q_kmeans: same ||v-c||^2 composition
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (datapipe/semdedup.py): k-means-route
+    the embeddings, then within each cluster drop any point dominated
+    by a near-duplicate (cosine >= 0.3) closer to the shared centroid.
+    Init pinned to the serial farthest-point variant the oracle
+    unrolls; the k-means|| init is the pytest-covered scale path."""
+    from powergraph_spark.datapipe.semdedup import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, k=KMEANS_K, threshold=SEMDEDUP_THRESHOLD,
+        kmeans_rounds=KMEANS_ROUNDS, init="farthest",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.round("sqdist", 5).alias("sqdist"),
+        "keep",
+    ).orderBy("vec_id")
+
+
+def _kmeans_cte_parts(k: int, rounds: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain (same ||v-c||^2 composition
     (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
     min-id tie-break, same lowest-cluster-index assignment tie-break,
-    same keep-old-center-on-empty rule."""
+    same keep-old-center-on-empty rule as algorithms.kmeans). Ends
+    with ``fin`` = the final per-point assignment (id, cluster, d);
+    used by both the kmeans and semdedup oracles."""
 
     def sq(a, b):
         return (
@@ -423,16 +445,60 @@ def _kmeans_oracle_sql(k: int = KMEANS_K,
             f"list(m ORDER BY pos) AS v FROM u{r} GROUP BY cluster) u "
             "USING (cluster))"
         )
+    parts.append(
+        "fin AS MATERIALIZED (SELECT id, cluster, d FROM ("
+        f"SELECT p.id, c.cluster, {sq('p.v', 'c.v')} AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY p.id "
+        f"ORDER BY {sq('p.v', 'c.v')} ASC, c.cluster ASC) AS rn "
+        f"FROM pts p CROSS JOIN cen{rounds} c) WHERE rn = 1)"
+    )
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K,
+                       rounds: int = KMEANS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of q_kmeans (see _kmeans_cte_parts)."""
+    parts = _kmeans_cte_parts(k, rounds)
     return (
-        "WITH " + ",\n".join(parts) + f"""
-SELECT id AS vec_id, cluster, ROUND(d, 5) AS sqdist FROM (
-  SELECT p.id, c.cluster, {sq('p.v', 'c.v')} AS d,
-         ROW_NUMBER() OVER (PARTITION BY p.id
-                            ORDER BY {sq('p.v', 'c.v')} ASC,
-                                     c.cluster ASC) AS rn
-  FROM pts p CROSS JOIN cen{rounds} c
-) WHERE rn = 1 ORDER BY vec_id
-"""
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT id AS vec_id, cluster, ROUND(d, 5) AS sqdist "
+        "FROM fin ORDER BY vec_id"
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_sql(k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS,
+                  thr: float = SEMDEDUP_THRESHOLD) -> str:
+    """Unrolled DuckDB twin of q_semdedup: the kmeans CTE chain, then
+    the cluster-local dominance join — drop x iff a same-cluster y
+    with cosine(x,y) >= thr has (d, id) strictly below x's. Cosine is
+    the identical composition (dot / (sqrt(dot)*sqrt(dot)), 0 when the
+    norm product is not > 0) to datapipe.similarity.cosine."""
+    parts = _kmeans_cte_parts(k, rounds)
+    cosab = (
+        "(CASE WHEN sqrt(list_dot_product(a.v,a.v)) * "
+        "sqrt(list_dot_product(b.v,b.v)) > 0 THEN "
+        "list_dot_product(a.v,b.v) / "
+        "(sqrt(list_dot_product(a.v,a.v)) * "
+        "sqrt(list_dot_product(b.v,b.v))) ELSE 0.0 END)"
+    )
+    parts.append(
+        "bse AS MATERIALIZED (SELECT f.id, f.cluster, f.d, p.v "
+        "FROM fin f JOIN pts p USING (id))"
+    )
+    parts.append(
+        "dom AS MATERIALIZED (SELECT DISTINCT a.id FROM bse a "
+        "JOIN bse b ON a.cluster = b.cluster "
+        "AND (b.d < a.d OR (b.d = a.d AND b.id < a.id)) "
+        f"AND {cosab} >= {thr!r})"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT b.id AS vec_id, b.cluster, ROUND(b.d, 5) AS sqdist, "
+        "(d.id IS NULL) AS keep "
+        "FROM bse b LEFT JOIN dom d USING (id) ORDER BY vec_id"
     )
 
 
@@ -2479,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "span_rewrite": q_span_rewrite,
         "qlr2": q_qlr2,
+        "semdedup": q_semdedup,
     }
 
 
@@ -4944,6 +5011,7 @@ FROM base b LEFT JOIN per p USING (doc_id)
 ORDER BY b.doc_id
 """,
         "qlr2": _qlr_sql(QLR_DIM, QLR_LR),
+        "semdedup": _semdedup_sql(),
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents

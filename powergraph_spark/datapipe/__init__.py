@@ -28,6 +28,7 @@ from .classifier import (
     train_quality_lr,
 )
 from .decontam import contamination, decontaminate
+from .semdedup import semantic_dedup, semantic_dedup_kept
 from .multimodal import (
     extract_features,
     resize_images,
@@ -76,6 +77,7 @@ __all__ = [
     "repetition_stats", "repetition_filter",
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
     "contamination", "decontaminate",
+    "semantic_dedup", "semantic_dedup_kept",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",
