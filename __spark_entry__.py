@@ -387,6 +387,28 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+DSIR_DIM = 64
+DSIR_N = 60
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (datapipe/dsir.py): target = the
+    corpus's English documents, raw = the whole corpus; hashed-unigram
+    log-ratio scores, Gumbel-top-60 selection on md5 draws."""
+    from powergraph_spark.datapipe.dsir import importance_resample
+
+    docs = _load(spark, sf_dir, "documents")
+    sel = importance_resample(
+        docs, docs.filter(F.col("lang") == "en"),
+        n=DSIR_N, dim=DSIR_DIM, seed="drv",
+    )
+    return sel.select(
+        "doc_id",
+        F.round("iw_score", 5).alias("iw_score"),
+        F.round("gumbel_key", 5).alias("gkey"),
+    ).orderBy("doc_id")
+
+
 def _kmeans_cte_parts(k: int, rounds: int) -> list[str]:
     """Shared unrolled-Lloyd CTE chain (same ||v-c||^2 composition
     (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
@@ -2546,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_rewrite": q_span_rewrite,
         "qlr2": q_qlr2,
         "semdedup": q_semdedup,
+        "dsir_sample": q_dsir,
     }
 
 
@@ -2820,6 +2843,60 @@ g2 AS (
 )
 SELECT w1.j::INT AS j, ROUND(w1.w - {lr} * COALESCE(g2.g, 0.0), 5) AS w
 FROM w1 LEFT JOIN g2 USING (j) ORDER BY w1.j
+"""
+
+
+def _dsir_sql(dim: int = DSIR_DIM, n: int = DSIR_N,
+              alpha: float = 1.0, seed: str = "drv") -> str:
+    """DuckDB twin of q_dsir: same md5-nibble buckets, same
+    Laplace-smoothed log-ratio arithmetic in the same op order, the
+    per-doc score replayed as an ORDERED left fold (list_reduce with a
+    prepended 0.0 seed — mirrors Spark's F.aggregate, since the top-n
+    cutoff compares unrounded keys), same +0.5-shifted Gumbel draws."""
+    a = f"{alpha!r}::DOUBLE"
+    ad = f"{alpha * dim!r}::DOUBLE"
+    bucket_tok = f"({_sql_md5_u32('md5(tok)')} % {dim})"
+    u32_id = _sql_md5_u32(f"md5('{seed}:' || doc_id::VARCHAR)")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS} AS t, lang FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM base),
+bkt AS MATERIALIZED (SELECT doc_id, {bucket_tok} AS j FROM tok),
+rawc AS (SELECT j, COUNT(*) AS c FROM bkt GROUP BY j),
+tgtc AS (
+  SELECT k.j, COUNT(*) AS c FROM bkt k JOIN base b USING (doc_id)
+  WHERE b.lang = 'en' GROUP BY k.j
+),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0)::DOUBLE FROM rawc) AS tr,
+         (SELECT COALESCE(SUM(c), 0)::DOUBLE FROM tgtc) AS tt
+),
+dom AS (SELECT unnest(generate_series(0, {dim - 1})) AS j),
+lr AS (
+  SELECT d.j,
+         ln((COALESCE(t.c, 0)::DOUBLE + {a}) / (tot.tt + {ad}))
+       - ln((COALESCE(r.c, 0)::DOUBLE + {a}) / (tot.tr + {ad})) AS w
+  FROM dom d LEFT JOIN tgtc t USING (j) LEFT JOIN rawc r USING (j)
+  CROSS JOIN tot
+),
+lrarr AS (SELECT list(w ORDER BY j) AS lr FROM lr),
+sc AS (
+  SELECT b.doc_id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(b.t, tok -> l.lr[{bucket_tok} + 1])),
+           (x, y) -> x + y) AS s
+  FROM base b CROSS JOIN lrarr l
+),
+sel AS (
+  SELECT doc_id, s,
+         s + (- ln(- ln((({u32_id}) + 0.5E0) / 4294967296.0E0))) AS g
+  FROM sc
+  ORDER BY g DESC, doc_id ASC LIMIT {n}
+)
+SELECT doc_id, ROUND(s, 5) AS iw_score, ROUND(g, 5) AS gkey
+FROM sel ORDER BY doc_id
 """
 
 
@@ -5012,6 +5089,7 @@ ORDER BY b.doc_id
 """,
         "qlr2": _qlr_sql(QLR_DIM, QLR_LR),
         "semdedup": _semdedup_sql(),
+        "dsir_sample": _dsir_sql(),
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents

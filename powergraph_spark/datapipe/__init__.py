@@ -28,6 +28,11 @@ from .classifier import (
     train_quality_lr,
 )
 from .decontam import contamination, decontaminate
+from .dsir import (
+    hashed_unigram_logratio,
+    importance_resample,
+    importance_scores,
+)
 from .semdedup import semantic_dedup, semantic_dedup_kept
 from .multimodal import (
     extract_features,
@@ -78,6 +83,7 @@ __all__ = [
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
     "contamination", "decontaminate",
     "semantic_dedup", "semantic_dedup_kept",
+    "hashed_unigram_logratio", "importance_scores", "importance_resample",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",
