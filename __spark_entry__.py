@@ -409,6 +409,24 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_MERGES = 3
+
+
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (datapipe/bpe.py): 3 merges learned over the
+    documents word-frequency table — rank, fused pair, pair count."""
+    from powergraph_spark.datapipe.bpe import bpe_train
+
+    docs = _load(spark, sf_dir, "documents")
+    res = bpe_train(docs, n_merges=BPE_MERGES)
+    rows = [
+        (r + 1, a, b, c) for r, (a, b, c) in enumerate(res.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, freq BIGINT"
+    ).orderBy("rank")
+
+
 def _kmeans_cte_parts(k: int, rounds: int) -> list[str]:
     """Shared unrolled-Lloyd CTE chain (same ||v-c||^2 composition
     (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
@@ -2569,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlr2": q_qlr2,
         "semdedup": q_semdedup,
         "dsir_sample": q_dsir,
+        "bpe3": q_bpe,
     }
 
 
@@ -2898,6 +2917,71 @@ sel AS (
 SELECT doc_id, ROUND(s, 5) AS iw_score, ROUND(g, 5) AS gkey
 FROM sel ORDER BY doc_id
 """
+
+
+def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB twin of q_bpe: same char+</w> seeding (RE2 has
+    no lookahead, so both engines split-then-drop-empties), same
+    overlapping pair counts weighted by word frequency, same
+    (count DESC, a, b) tie-break, and the same greedy leftmost
+    non-overlapping re-segmentation — replayed positionally: matches
+    grouped into consecutive runs, every even-offset match taken,
+    consumed positions dropped on rebuild."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, "
+        "list_append(list_filter(string_split_regex(word, ''), "
+        "x -> x <> ''), '</w>') AS syms FROM ("
+        f"SELECT unnest({_SQL_TOKS}) AS word FROM documents) GROUP BY word)"
+    ]
+    for r in range(1, n_merges + 1):
+        p = f"w{r - 1}"
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT a, b, c FROM ("
+            "SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS c "
+            f"FROM (SELECT cnt, syms, unnest(CASE WHEN len(syms) >= 2 "
+            "THEN generate_series(1, len(syms) - 1) ELSE []::BIGINT[] "
+            f"END) AS i FROM {p}) GROUP BY syms[i], syms[i + 1]) "
+            "ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"mm{r} AS (SELECT word, i, "
+            "i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp "
+            f"FROM (SELECT w.word, w.syms, unnest(CASE WHEN "
+            "len(w.syms) >= 2 THEN generate_series(1, len(w.syms) - 1) "
+            f"ELSE []::BIGINT[] END) AS i FROM {p} w), m{r} m "
+            "WHERE syms[i] = m.a AND syms[i + 1] = m.b)"
+        )
+        parts.append(
+            f"tk{r} AS (SELECT word, i FROM (SELECT word, i, "
+            "ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS k "
+            f"FROM mm{r}) WHERE (k - 1) % 2 = 0)"
+        )
+        parts.append(
+            f"px{r} AS (SELECT word, syms, "
+            "unnest(generate_series(1, len(syms))) AS p "
+            f"FROM {p})"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT px.word, "
+            f"ANY_VALUE(w.cnt) AS cnt, "
+            "list(CASE WHEN t1.i IS NOT NULL THEN "
+            "px.syms[px.p] || px.syms[px.p + 1] ELSE px.syms[px.p] END "
+            "ORDER BY px.p) FILTER (WHERE t2.i IS NULL) AS syms "
+            f"FROM px{r} px "
+            f"JOIN {p} w ON w.word = px.word "
+            f"LEFT JOIN tk{r} t1 ON t1.word = px.word AND t1.i = px.p "
+            f"LEFT JOIN tk{r} t2 ON t2.word = px.word AND t2.i = px.p - 1 "
+            "GROUP BY px.word)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a AS \"left\", b AS \"right\", "
+        f"c::BIGINT AS freq FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT * FROM ({final}) ORDER BY rank"
+    )
 
 
 def _ivf_sql(n_cells: int, nprobe: int, k: int) -> str:
@@ -5090,6 +5174,7 @@ ORDER BY b.doc_id
         "qlr2": _qlr_sql(QLR_DIM, QLR_LR),
         "semdedup": _semdedup_sql(),
         "dsir_sample": _dsir_sql(),
+        "bpe3": _bpe_sql(),
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents

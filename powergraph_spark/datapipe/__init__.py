@@ -27,6 +27,7 @@ from .classifier import (
     quality_lr_filter,
     train_quality_lr,
 )
+from .bpe import bpe_segment, bpe_train, word_vocab
 from .decontam import contamination, decontaminate
 from .dsir import (
     hashed_unigram_logratio,
@@ -84,6 +85,7 @@ __all__ = [
     "contamination", "decontaminate",
     "semantic_dedup", "semantic_dedup_kept",
     "hashed_unigram_logratio", "importance_scores", "importance_resample",
+    "bpe_train", "bpe_segment", "word_vocab",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",
