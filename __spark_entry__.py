@@ -427,6 +427,50 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+PPL_CUTS = (-3.42, -3.39)
+HLL_B = 10
+STRAT_N = 20
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing on the bigram-LM signal
+    (datapipe.text.ppl_buckets) with fixed offline-fit cutoffs."""
+    from powergraph_spark.datapipe import ppl_buckets
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ppl_buckets(docs, cutoffs=PPL_CUTS).orderBy("doc_id")
+
+
+def q_hll_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-word estimate per language
+    (datapipe/sketch.py) — md5 registers, replayed register-for-
+    register by the oracle."""
+    from powergraph_spark.datapipe import hll_distinct
+    from powergraph_spark.datapipe.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+        ).alias("w"),
+    )
+    return hll_distinct(words, ["lang"], "w", b=HLL_B).orderBy("lang")
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum deterministic bottom-k sampling
+    (datapipe.clean.stratified_sample): 20 docs per language by
+    smallest md5 draw."""
+    from powergraph_spark.datapipe import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", n_per=STRAT_N, seed="drv")
+    return out.select(
+        "doc_id", "lang", F.round("u", 5).alias("u")
+    ).orderBy("doc_id")
+
+
 def _kmeans_cte_parts(k: int, rounds: int) -> list[str]:
     """Shared unrolled-Lloyd CTE chain (same ||v-c||^2 composition
     (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
@@ -2588,6 +2632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_sample": q_dsir,
         "bpe3": q_bpe,
+        "ppl_buckets": q_ppl_buckets,
+        "hll_words": q_hll_words,
+        "strat_sample": q_strat_sample,
     }
 
 
@@ -2982,6 +3029,85 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT * FROM ({final}) ORDER BY rank"
     )
+
+
+def _lm_sql_with(tail: str) -> str:
+    """Shared bigram stupid-backoff LM CTE chain (twin of
+    datapipe.text.bigram_lm_scores), ending at ``s`` =
+    (doc_id, n_bigrams, avg_logprob-rounded-5dp); used by the
+    lm_score and ppl_buckets oracles."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(ltoks) AS w FROM base) GROUP BY w
+),
+nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
+grams AS MATERIALIZED (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ltoks) >= 2 THEN
+      list_transform(generate_series(1, len(ltoks) - 1),
+                     i -> array_to_string(ltoks[i:i+1], ' '))
+    ELSE []::VARCHAR[] END) AS g
+  FROM base
+),
+bi AS MATERIALIZED (SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g),
+db AS (SELECT doc_id, g,
+              string_split(g, ' ')[1] AS w1,
+              string_split(g, ' ')[2] AS w2
+       FROM grams),
+j AS (
+  SELECT d.doc_id,
+         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12::DOUBLE / u1.c1)
+              ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1)::DOUBLE
+                      / (SELECT n + v FROM nv)) END AS lp
+  FROM db d LEFT JOIN bi b USING (g)
+  LEFT JOIN uni u1 ON u1.w = d.w1
+  LEFT JOIN uni u2 ON u2.w = d.w2
+),
+s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(lp), 5) AS avg_logprob
+      FROM j GROUP BY doc_id)
+{tail}"""
+
+
+def _hll_sql(b: int = 10) -> str:
+    """DuckDB twin of q_hll_words: same md5-u32 hash, same idx/w
+    split (mod/div), same bin()-length rho, same alpha*m^2 literal and
+    small-range correction. The 2^-rho register sum is exact in
+    float64 (dyadic terms), so aggregation order is immaterial."""
+    from powergraph_spark.datapipe.sketch import _alpha
+
+    m = 1 << b
+    a = repr(_alpha(m) * m * m)
+    h = _sql_md5_u32("md5(w)")
+    return f"""
+WITH toks AS (
+  SELECT lang, lower(unnest({_SQL_TOKS})) AS w FROM documents
+),
+hx AS (
+  SELECT lang, ({h}) % {m} AS idx, ({h}) // {m} AS wd FROM toks
+),
+reg AS (
+  SELECT lang, idx,
+         MAX(CASE WHEN wd > 0 THEN {32 - b} - length(bin(wd)) + 1
+                  ELSE {32 - b + 1} END) AS rho
+  FROM hx GROUP BY lang, idx
+),
+agg AS (
+  SELECT lang, COUNT(*) AS cnt, SUM(power(2.0, -rho)) AS z
+  FROM reg GROUP BY lang
+)
+SELECT lang,
+       ROUND(CASE WHEN ({a} / (z + ({m} - cnt))) <= {2.5 * m!r}
+                   AND ({m} - cnt) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - cnt))
+                  ELSE {a} / (z + ({m} - cnt)) END, 4) AS est
+FROM agg ORDER BY lang
+"""
 
 
 def _ivf_sql(n_cells: int, nprobe: int, k: int) -> str:
@@ -4909,45 +5035,20 @@ ranked AS (
 SELECT doc_id, term, rank::INT AS rank, ROUND(score, 5) AS score
 FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
 """,
-        "lm_score": f"""
-WITH base AS MATERIALIZED (
-  SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
-  FROM documents
-),
-uni AS MATERIALIZED (
-  SELECT w, COUNT(*) AS c1
-  FROM (SELECT unnest(ltoks) AS w FROM base) GROUP BY w
-),
-nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
-grams AS MATERIALIZED (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ltoks) >= 2 THEN
-      list_transform(generate_series(1, len(ltoks) - 1),
-                     i -> array_to_string(ltoks[i:i+1], ' '))
-    ELSE []::VARCHAR[] END) AS g
-  FROM base
-),
-bi AS MATERIALIZED (SELECT g, COUNT(*) AS c12 FROM grams GROUP BY g),
-db AS (SELECT doc_id, g,
-              string_split(g, ' ')[1] AS w1,
-              string_split(g, ' ')[2] AS w2
-       FROM grams),
-j AS (
-  SELECT d.doc_id,
-         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12::DOUBLE / u1.c1)
-              ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1)::DOUBLE
-                      / (SELECT n + v FROM nv)) END AS lp
-  FROM db d LEFT JOIN bi b USING (g)
-  LEFT JOIN uni u1 ON u1.w = d.w1
-  LEFT JOIN uni u2 ON u2.w = d.w2
-),
-s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-             ROUND(AVG(lp), 5) AS avg_logprob
-      FROM j GROUP BY doc_id)
+        "lm_score": _lm_sql_with("""
 SELECT d.doc_id, COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(s.avg_logprob, 0.0) AS avg_logprob
 FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
-""",
+"""),
+        "ppl_buckets": _lm_sql_with(f"""
+SELECT d.doc_id, COALESCE(s.avg_logprob, 0.0) AS avg_logprob,
+       CASE WHEN COALESCE(s.avg_logprob, 0.0) >= {PPL_CUTS[1]!r}
+              THEN 'head'
+            WHEN COALESCE(s.avg_logprob, 0.0) >= {PPL_CUTS[0]!r}
+              THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""),
         "anchors": r"""
 WITH p AS (
   SELECT 'http://src/' || doc_id::VARCHAR AS src_url,
@@ -5175,6 +5276,22 @@ ORDER BY b.doc_id
         "semdedup": _semdedup_sql(),
         "dsir_sample": _dsir_sql(),
         "bpe3": _bpe_sql(),
+        "hll_words": _hll_sql(HLL_B),
+        "strat_sample": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ({_sql_md5_u32("md5('drv:' || doc_id::VARCHAR)")})::DOUBLE
+           / 4294967296.0E0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, u,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, lang, ROUND(u, 5) AS u
+FROM r WHERE rk <= {STRAT_N} ORDER BY doc_id
+""",
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents

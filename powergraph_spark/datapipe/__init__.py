@@ -5,6 +5,7 @@ from .clean import (
     pack_sequences,
     quality_sample,
     split_lines,
+    stratified_sample,
 )
 from .dedup import (
     dedup_exact,
@@ -35,6 +36,7 @@ from .dsir import (
     importance_scores,
 )
 from .semdedup import semantic_dedup, semantic_dedup_kept
+from .sketch import hll_distinct, hll_estimate, hll_registers
 from .multimodal import (
     extract_features,
     resize_images,
@@ -59,6 +61,8 @@ from .text import (
     dup_line_fraction,
     dup_paragraph_fraction,
     lang_id,
+    ppl_buckets,
+    ppl_cutoffs,
     quality_score,
     repeated_ngram_char_fraction,
     repetition_filter,
@@ -86,6 +90,9 @@ __all__ = [
     "semantic_dedup", "semantic_dedup_kept",
     "hashed_unigram_logratio", "importance_scores", "importance_resample",
     "bpe_train", "bpe_segment", "word_vocab",
+    "hll_registers", "hll_estimate", "hll_distinct",
+    "ppl_cutoffs", "ppl_buckets",
+    "stratified_sample",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",

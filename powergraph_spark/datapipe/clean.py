@@ -33,7 +33,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -219,6 +219,34 @@ def quality_sample(
         docs.withColumn("u", u)
         .withColumn("w", w)
         .where(F.col("u") < F.col("w"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    n_per: int,
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per`` rows per stratum (fewer if the stratum is
+    smaller), selected by the smallest deterministic md5-uniform draws
+    keyed on (seed, id) — i.e. a per-stratum uniform sample WITHOUT
+    replacement that is reproducible at any parallelism and stable
+    per-row under corpus growth within a stratum only up to the
+    cutoff (classic bottom-k sampling). Adds ``u`` (the draw).
+
+    Scale shape: rank-over-window with rank <= k compiles to Spark
+    4.1's WindowGroupLimit — each task keeps a per-stratum top-k
+    heap BEFORE the shuffle, so only P*k rows per stratum move, not
+    the corpus."""
+    u = _md5_uniform(f"concat('{seed}:', CAST({id_col} AS STRING))")
+    w = Window.partitionBy(strata_col).orderBy("u", id_col)
+    return (
+        docs.withColumn("u", u)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per)
+        .drop("__rk")
     )
 
 

@@ -420,6 +420,49 @@ def bigram_lm_scores(
     )
 
 
+def ppl_cutoffs(
+    docs: DataFrame,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[float, ...]:
+    """Fit CCNet-style bucket cutoffs: exact distributed percentiles
+    of the bigram-LM avg_logprob (one aggregate job — no global sort,
+    no collect of scores). Production shape: fit once on a sample,
+    then bucket the full corpus with the constants."""
+    s = bigram_lm_scores(docs, lm_docs, text_col=text_col, id_col=id_col)
+    row = s.agg(
+        F.percentile("avg_logprob", F.lit(list(fractions))).alias("p")
+    ).first()
+    return tuple(float(x) for x in row["p"])
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    cutoffs: tuple[float, float],
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.,
+    LREC 2020 shape) on the bigram stupid-backoff LM signal:
+    ``head`` = avg_logprob >= cutoffs[1] (lowest perplexity),
+    ``middle`` >= cutoffs[0], else ``tail``. Cutoffs are FIXED
+    constants (fit offline via ppl_cutoffs), so bucketing is a pure
+    projection over bigram_lm_scores — corpus-size-linear, no global
+    ordering anywhere. avg_logprob is rounded 5dp upstream, making
+    the threshold comparison engine-stable."""
+    c1, c2 = cutoffs
+    s = bigram_lm_scores(docs, lm_docs, text_col=text_col, id_col=id_col)
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.lit(c2), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.lit(c1), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return s.select(id_col, "avg_logprob", bucket.alias("bucket"))
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
