@@ -471,6 +471,28 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (datapipe/multimodal.py image_near_dups):
+    the media corpus is synthesized twice with the same seed (copy ids
+    shifted +10000), so every image has an exact twin; pairs by aHash
+    Hamming <= 2 over real netpbm decodes. Binary decode is not
+    SQL-expressible, so this query has NO oracle_sql twin (rows-only
+    driver check; exactness is pytest-covered against an independent
+    python aHash replica in test_multimodal_dedup.py)."""
+    from powergraph_spark.datapipe.multimodal import (
+        image_near_dups,
+        synthesize_media,
+    )
+
+    m1 = synthesize_media(spark, 120, seed=7)
+    m2 = synthesize_media(spark, 120, seed=7).withColumn(
+        "media_id", F.col("media_id") + 10000
+    )
+    return image_near_dups(
+        m1.unionAll(m2), max_hamming=2
+    ).orderBy("id_a", "id_b")
+
+
 def _kmeans_cte_parts(k: int, rounds: int) -> list[str]:
     """Shared unrolled-Lloyd CTE chain (same ||v-c||^2 composition
     (dot(v,v) - 2 dot(v,c) + dot(c,c)), same farthest-point init with
@@ -2635,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "hll_words": q_hll_words,
         "strat_sample": q_strat_sample,
+        "image_dups": q_image_dups,
     }
 
 

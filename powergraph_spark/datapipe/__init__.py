@@ -39,6 +39,8 @@ from .semdedup import semantic_dedup, semantic_dedup_kept
 from .sketch import hll_distinct, hll_estimate, hll_registers
 from .multimodal import (
     extract_features,
+    image_ahash,
+    image_near_dups,
     resize_images,
     sample_frames,
     synthesize_media,
@@ -86,6 +88,7 @@ __all__ = [
     "top_ngram_char_fraction", "repeated_ngram_char_fraction",
     "repetition_stats", "repetition_filter",
     "synthesize_media", "extract_features", "resize_images", "sample_frames",
+    "image_ahash", "image_near_dups",
     "contamination", "decontaminate",
     "semantic_dedup", "semantic_dedup_kept",
     "hashed_unigram_logratio", "importance_scores", "importance_resample",

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -248,3 +249,118 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
 
     return media.mapInPandas(kern, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------- perceptual dedup
+
+AHASH_SCHEMA = "media_id long, kind string, ahash string"
+
+
+def _ahash_bits(img: np.ndarray, grid: int) -> str:
+    """Average-hash of a grayscale array: mean-pool to grid x grid,
+    threshold each cell strictly above the global cell mean, pack
+    MSB-first into a 4*grid*grid/4-nibble hex string (grid=8 -> the
+    classic 64-bit aHash, 16 hex chars — the same shape the simhash
+    Hamming/pigeonhole machinery operates on)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    img = img.astype(np.float64)
+    h, w = img.shape
+    if h < grid or w < grid:
+        img = np.resize(img, (grid, grid))
+        h = w = grid
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    pooled = np.add.reduceat(np.add.reduceat(img, ys, axis=0), xs, axis=1)
+    counts = np.outer(
+        np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
+    )
+    pooled = pooled / counts
+    bits = (pooled > pooled.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return format(v, f"0{grid * grid // 4}x")
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image row (public aHash scheme —
+    e.g. the pHash/imagehash family): REAL decode for netpbm payloads,
+    deterministic raw-byte view otherwise (same fallback contract as
+    extract_features). Arrow-batched mapInPandas; non-image rows are
+    dropped. Returns (media_id, kind, ahash-hex)."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                if r["kind"] != "image":
+                    continue
+                payload = bytes(r["payload"])
+                img = decode_image(payload)
+                note_kind = "image"
+                if img is None:
+                    img = _raw_view(payload, r["width"], r["height"])
+                    note_kind = "image-raw-fallback"
+                rows.append(
+                    (int(r["media_id"]), note_kind, _ahash_bits(img, grid))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "ahash"]
+            )
+
+    return media.mapInPandas(kern, schema=AHASH_SCHEMA)
+
+
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int | None = 1000,
+    grid: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance <=
+    max_hamming — FULL recall via the same nibble-block pigeonhole
+    bucketing as simhash_near_dups (dedup.py): a pair within the
+    budget shares at least one exact block, so the join is block-local
+    and never all-pairs; oversized buckets (flat/boilerplate images)
+    are dropped under the same cap rationale. Returns
+    (id_a, id_b, hamming). 100 TB shape: decode+hash is one
+    Arrow-batched pass; everything after is the bounded block join on
+    16-char strings."""
+    from .dedup import simhash_block_bounds, simhash_hamming
+
+    bounds = simhash_block_bounds(max_hamming)
+    sh = image_ahash(media, grid=grid).select(
+        F.col("media_id").alias("id"), "ahash"
+    )
+    blocks = sh.select(
+        "id", "ahash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.substring("ahash", lo + 1, hi - lo).alias("key"),
+            )
+            for bi, (lo, hi) in enumerate(bounds)
+        ])).alias("bb"),
+    ).select("id", "ahash", "bb.blk", "bb.key")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk", "key")
+        blocks = (
+            blocks.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.ahash").alias("h_a"), F.col("b.ahash").alias("h_b"))
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", simhash_hamming("h_a", "h_b").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
