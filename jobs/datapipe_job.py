@@ -10,9 +10,12 @@ same CLI shape as the repo's other jobs.
 Usage:
     spark-submit --py-files powergraph_spark.zip jobs/datapipe_job.py \
         --documents <parquet with (doc_id, text, ...)> --output <dir> \
-        [--steps quality,repetition,c4,langid,pii,line_dedup,exact_dedup,minhash_dedup,span_filter,span_rewrite] \
+        [--steps quality,repetition,c4,langid,pii,line_dedup,exact_dedup,minhash_dedup,span_filter,span_rewrite,ppl,dsir,strat,semdedup] \
         [--min-quality 0.3] [--langs en] [--minhash-threshold 0.8] \
         [--benchmark <parquet>] [--qsample-seed qsample] \
+        [--ppl-cutoffs -3.42,-3.39] [--dsir-target <parquet>] \
+        [--strat-col lang --strat-n 10000] [--embeddings <parquet>] \
+        [--bpe-merges 1000] \
         [--split-fractions train=0.9,val=0.05,test=0.05] [--partitions 4096]
 
 Writes <output>/documents (surviving, possibly redacted rows;
@@ -31,6 +34,7 @@ ALL_STEPS = [
     "quality", "repetition", "c4", "langid", "pii",
     "line_dedup", "exact_dedup", "minhash_dedup", "span_filter",
     "span_rewrite", "qlr", "decontam", "qsample",
+    "ppl", "dsir", "strat", "semdedup",
 ]
 
 
@@ -71,6 +75,28 @@ def main() -> None:
                     help="e.g. train=0.9,val=0.05,test=0.05 — adds a"
                          " deterministic `split` column and partitions"
                          " the output by it")
+    ap.add_argument("--ppl-cutoffs", default=None,
+                    help="c1,c2 avg_logprob cutoffs for the ppl step"
+                         " (fit offline via datapipe.text.ppl_cutoffs)")
+    ap.add_argument("--ppl-keep", default="head,middle",
+                    help="buckets the ppl step keeps")
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-domain parquet for the dsir step")
+    ap.add_argument("--dsir-n", type=int, default=100000,
+                    help="docs the dsir step selects")
+    ap.add_argument("--dsir-dim", type=int, default=8192)
+    ap.add_argument("--strat-col", default=None,
+                    help="stratum column for the strat step")
+    ap.add_argument("--strat-n", type=int, default=10000,
+                    help="docs per stratum the strat step keeps")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet with (vec_id, embedding) keyed by"
+                         " the doc id — required for the semdedup step")
+    ap.add_argument("--semdedup-k", type=int, default=1024)
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95)
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="when set, learns this many BPE merges on the"
+                         " SURVIVING docs and writes <output>/bpe_merges")
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="token budget per training sequence; when set,"
                          " writes <output>/sequences with the (shard,"
@@ -99,6 +125,14 @@ def main() -> None:
         ap.error("--benchmark is required for the decontam step")
     if "qlr" in steps and not args.qlr_label_col:
         ap.error("--qlr-label-col is required for the qlr step")
+    if "ppl" in steps and not args.ppl_cutoffs:
+        ap.error("--ppl-cutoffs is required for the ppl step")
+    if "dsir" in steps and not args.dsir_target:
+        ap.error("--dsir-target is required for the dsir step")
+    if "strat" in steps and not args.strat_col:
+        ap.error("--strat-col is required for the strat step")
+    if "semdedup" in steps and not args.embeddings:
+        ap.error("--embeddings is required for the semdedup step")
 
     from powergraph_spark import get_spark
 
@@ -211,6 +245,48 @@ def run(spark, args, steps, fractions=None) -> None:
                 docs, quality_score(text),
                 id_col=args.id_col, seed=args.qsample_seed,
             ).drop("u", "w")
+        elif step == "ppl":
+            from powergraph_spark.datapipe import ppl_buckets
+
+            c1, c2 = (float(x) for x in args.ppl_cutoffs.split(","))
+            keep = [s.strip() for s in args.ppl_keep.split(",")]
+            b = ppl_buckets(
+                docs, (c1, c2), id_col=args.id_col,
+                text_col=args.text_col,
+            )
+            docs = docs.join(
+                b.filter(F.col("bucket").isin(keep)).select(args.id_col),
+                args.id_col,
+            )
+        elif step == "dsir":
+            from powergraph_spark.datapipe import importance_resample
+
+            target = spark.read.parquet(args.dsir_target)
+            docs = importance_resample(
+                docs, target, n=args.dsir_n, dim=args.dsir_dim,
+                id_col=args.id_col, text_col=args.text_col,
+            ).drop("iw_score", "gumbel_key")
+        elif step == "strat":
+            from powergraph_spark.datapipe import stratified_sample
+
+            docs = stratified_sample(
+                docs, args.strat_col, n_per=args.strat_n,
+                id_col=args.id_col,
+            ).drop("u")
+        elif step == "semdedup":
+            from powergraph_spark.datapipe import semantic_dedup
+
+            emb = spark.read.parquet(args.embeddings)
+            flags = semantic_dedup(
+                emb, k=args.semdedup_k,
+                threshold=args.semdedup_threshold,
+            )
+            docs = docs.join(
+                flags.filter("keep").select(
+                    F.col("id").alias(args.id_col)
+                ),
+                args.id_col,
+            )
         n_out = docs.count()
         report.append((step, n_in, n_out))
         print(f"[datapipe] {step}: {n_in} -> {n_out}")
@@ -221,6 +297,19 @@ def run(spark, args, steps, fractions=None) -> None:
         docs = hash_split(docs, id_col=args.id_col, fractions=fractions)
         writer = docs.write.mode("overwrite").partitionBy("split")
     writer.parquet(f"{args.output}/documents")
+    if args.bpe_merges:
+        from powergraph_spark.datapipe import bpe_train
+
+        res = bpe_train(docs, n_merges=args.bpe_merges,
+                        text_col=args.text_col)
+        spark.createDataFrame(
+            [(r + 1, a, b, c) for r, (a, b, c) in enumerate(res.merges)],
+            "rank INT, left STRING, right STRING, freq BIGINT",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/bpe_merges"
+        )
+        print(f"[datapipe] wrote {len(res.merges)} BPE merges to "
+              f"{args.output}/bpe_merges")
     if args.pack_budget:
         from powergraph_spark.datapipe import pack_sequences
 

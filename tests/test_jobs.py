@@ -25,6 +25,11 @@ def _args(**kw) -> argparse.Namespace:
         benchmark=None, decontam_max_overlap=0.1, qsample_seed="qsample",
         split_fractions=None, pack_budget=None, pack_shards=1024,
         partitions=None,
+        ppl_cutoffs=None, ppl_keep="head,middle",
+        dsir_target=None, dsir_n=100000, dsir_dim=64,
+        strat_col=None, strat_n=10000,
+        embeddings=None, semdedup_k=1024, semdedup_threshold=0.95,
+        bpe_merges=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -107,3 +112,81 @@ def test_datapipe_job_qlr_step(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/documents").collect()
     )
     assert ids == list(range(20))
+
+
+def test_datapipe_job_selection_steps(spark, tmp_path):
+    """Round-5 selection steps: strat + ppl + bpe-merges output."""
+    src = str(tmp_path / "docs2")
+    out = str(tmp_path / "out2")
+    rows = [
+        (i, f"the cat sat on mat {i} " + ("en" if i % 2 else "fr"),
+         "en" if i % 2 else "fr")
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    args = _args(documents=src, output=out, strat_col="lang", strat_n=5,
+                 ppl_cutoffs="-1000.0,-1000.0", ppl_keep="head",
+                 bpe_merges=4)
+    datapipe_job.run(spark, args, ["strat", "ppl"])
+
+    docs = spark.read.parquet(f"{out}/documents").collect()
+    # 5 per lang survive strat; every doc scores >= -1000 -> head
+    assert len(docs) == 10
+    by = {}
+    for r in docs:
+        by.setdefault(r["lang"], 0)
+        by[r["lang"]] += 1
+    assert by == {"en": 5, "fr": 5}
+    merges = spark.read.parquet(f"{out}/bpe_merges").collect()
+    assert len(merges) == 4 and all(m["freq"] >= 2 for m in merges)
+
+
+def test_datapipe_job_semdedup_dsir_steps(spark, tmp_path):
+    src = str(tmp_path / "docs3")
+    out = str(tmp_path / "out3")
+    embp = str(tmp_path / "emb3")
+    tgt = str(tmp_path / "tgt3")
+    rows = [
+        (i, f"alpha beta gamma {i}" if i % 2 else f"un deux trois {i}")
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # embeddings: ids 0..9 share one vector (exact dups -> one
+    # survivor), 10..19 are mutually ORTHOGONAL basis vectors (no
+    # pair is a near-dup)
+    emb_rows = []
+    for i in range(20):
+        if i < 10:
+            v = [1.0] * 12
+        else:
+            v = [0.0] * 12
+            v[i - 10] = 1.0
+        emb_rows.append((i, v))
+    spark.createDataFrame(emb_rows, ["vec_id", "embedding"]).write.mode(
+        "overwrite"
+    ).parquet(embp)
+    # dsir target: the "alpha beta gamma" domain
+    spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma {i}") for i in range(5)],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(tgt)
+
+    args = _args(documents=src, output=out, embeddings=embp,
+                 semdedup_k=2, semdedup_threshold=0.99,
+                 dsir_target=tgt, dsir_n=4, dsir_dim=32)
+    datapipe_job.run(spark, args, ["semdedup", "dsir"])
+
+    docs = spark.read.parquet(f"{out}/documents").collect()
+    assert len(docs) == 4
+    # ids 1..9 are exact embedding dups of id 0 -> only one of the
+    # first ten can survive semdedup; dsir then prefers the alpha
+    # domain among survivors
+    ids = {r["doc_id"] for r in docs}
+    assert len(ids & set(range(10))) <= 1
+    texts = [r["text"] for r in docs]
+    assert sum(t.startswith("alpha") for t in texts) >= 2
