@@ -471,6 +471,48 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+MIX_WEIGHTS = {"en": 0.6, "fr": 0.25, "zh": 0.15}
+MIX_N = 40
+BLOCKED = ["s1.example.com", "s3.example.com"]
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture selection (datapipe.clean.mixture_sample):
+    largest-remainder quotas of 40 slots over {en:.6, fr:.25, zh:.15}
+    filled by bottom-k md5 draws; es/de strata get zero."""
+    from powergraph_spark.datapipe import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mixture_sample(docs, MIX_WEIGHTS, n=MIX_N, seed="drv")
+    return out.select(
+        "doc_id", "lang", F.round("u", 5).alias("u")
+    ).orderBy("doc_id")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host blocklist filtering (webtext.urls.blocklist_filter):
+    synthetic per-doc URLs over 7 hosts, two hosts blocked with
+    subdomain semantics; survivors returned."""
+    from powergraph_spark.webtext.urls import blocklist_filter
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    withurl = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("sub.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+        ),
+    )
+    return blocklist_filter(withurl, BLOCKED, url_col="url").orderBy(
+        "doc_id"
+    )
+
+
 def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (datapipe/multimodal.py image_near_dups):
     the media corpus is synthesized twice with the same seed (copy ids
@@ -2658,6 +2700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": q_hll_words,
         "strat_sample": q_strat_sample,
         "image_dups": q_image_dups,
+        "mixture40": q_mixture,
+        "blocklist": q_blocklist,
     }
 
 
@@ -3052,6 +3096,35 @@ def _bpe_sql(n_merges: int = BPE_MERGES) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT * FROM ({final}) ORDER BY rank"
     )
+
+
+def _mixture_sql(weights: dict | None = None, n: int = MIX_N,
+                 seed: str = "drv") -> str:
+    """DuckDB twin of q_mixture: the same largest-remainder quotas
+    (computed by the SAME python helper and embedded as a VALUES
+    table) over the replayed bottom-k draws."""
+    from powergraph_spark.datapipe import mixture_quotas
+
+    quota = mixture_quotas(weights or MIX_WEIGHTS, n)
+    vals = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(quota.items())
+    )
+    u = _sql_md5_u32(f"md5('{seed}:' || doc_id::VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ({u})::DOUBLE / 4294967296.0E0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, u,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+  FROM d
+),
+q AS (SELECT * FROM (VALUES {vals}) q(lang, quota))
+SELECT doc_id, lang, ROUND(u, 5) AS u
+FROM r JOIN q USING (lang) WHERE rk <= quota ORDER BY doc_id
+"""
 
 
 def _lm_sql_with(tail: str) -> str:
@@ -5314,6 +5387,26 @@ r AS (
 )
 SELECT doc_id, lang, ROUND(u, 5) AS u
 FROM r WHERE rk <= {STRAT_N} ORDER BY doc_id
+""",
+        "mixture40": _mixture_sql(),
+        "blocklist": f"""
+WITH d AS (
+  SELECT doc_id,
+         'http://' || CASE WHEN doc_id % 11 = 0 THEN 'sub.' ELSE '' END
+           || 's' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+           || (doc_id % 13)::VARCHAR AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '://([^/?#:]*)', 1)) AS host
+  FROM d
+)
+SELECT doc_id, url FROM h
+WHERE NOT ({" OR ".join(
+    f"host = '{b}' OR host LIKE '%.{b}'" for b in BLOCKED
+)})
+ORDER BY doc_id
 """,
         "span_rewrite": f"""
 WITH base AS MATERIALIZED (

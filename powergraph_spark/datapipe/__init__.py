@@ -2,6 +2,8 @@ from .clean import (
     c4_line_filter,
     hash_split,
     line_dedup,
+    mixture_quotas,
+    mixture_sample,
     pack_sequences,
     quality_sample,
     split_lines,
@@ -95,7 +97,7 @@ __all__ = [
     "bpe_train", "bpe_segment", "word_vocab",
     "hll_registers", "hll_estimate", "hll_distinct",
     "ppl_cutoffs", "ppl_buckets",
-    "stratified_sample",
+    "stratified_sample", "mixture_quotas", "mixture_sample",
     "split_lines", "line_dedup", "c4_line_filter", "hash_split",
     "quality_sample", "pack_sequences", "corpus_ngram_counts",
     "quantize_embeddings", "dequantize_embeddings",

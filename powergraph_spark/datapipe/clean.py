@@ -250,6 +250,64 @@ def stratified_sample(
     )
 
 
+def mixture_quotas(weights: dict[str, float], n: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``n`` slots over
+    normalized ``weights`` — driver-side arithmetic on the weights
+    dict only. Ties on remainder break by stratum name ascending."""
+    total = float(sum(weights.values()))
+    if total <= 0 or n < 0:
+        raise ValueError("weights must sum > 0 and n >= 0")
+    exact = {k: n * w / total for k, w in weights.items()}
+    quota = {k: int(v) for k, v in exact.items()}
+    left = n - sum(quota.values())
+    order = sorted(
+        weights, key=lambda k: (-(exact[k] - quota[k]), k)
+    )
+    for k in order[:left]:
+        quota[k] += 1
+    return quota
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture selection: apportion ``n`` slots
+    across strata by largest-remainder on ``weights`` (strata not in
+    the dict get zero), then fill each stratum's quota with the same
+    bottom-k md5 draws as stratified_sample. Undersized strata yield
+    fewer rows than their quota (no backfilling — the mixture is a
+    cap, matching how training-mixture configs are specified).
+
+    Scale shape: the rank <= max_quota window filter compiles to
+    WindowGroupLimit (per-task top-k BEFORE the shuffle); the
+    per-stratum quota refinement is then a constant map lookup. Adds
+    ``u`` (the draw)."""
+    quota = mixture_quotas(weights, n)
+    if not quota:
+        return docs.limit(0).withColumn("u", F.lit(0.0))
+    max_q = max(quota.values())
+    qmap = F.create_map(
+        *[F.lit(x) for kv in sorted(quota.items()) for x in kv]
+    )
+    u = _md5_uniform(f"concat('{seed}:', CAST({id_col} AS STRING))")
+    w = Window.partitionBy(strata_col).orderBy("u", id_col)
+    return (
+        docs.withColumn("u", u)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_q)  # WindowGroupLimit prune
+        .where(
+            F.col("__rk")
+            <= F.coalesce(qmap[F.col(strata_col)], F.lit(0))
+        )
+        .drop("__rk")
+    )
+
+
 # ---------------------------------------------------- sequence packing
 def pack_sequences(
     docs: DataFrame,

@@ -131,3 +131,31 @@ def latest_capture(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts: list[str],
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's host is a blocked domain OR any subdomain
+    of one (blocking ``example.com`` blocks ``a.b.example.com`` but
+    NOT ``notexample.com`` — matching is on dot boundaries). The
+    standard crawl-hygiene filter (UT1/ads blocklists shape).
+
+    Scale shape: the blocklist is a driver-side constant folded into
+    ONE literal array; matching is a pure JVM F.exists over it (list
+    sizes in the tens of thousands stay KBs of plan constant) — no
+    join, no shuffle, pipelined into the scan. For multi-million-entry
+    lists switch to a broadcast join on the registrable-domain suffix;
+    this literal form is exact and cheaper below that."""
+    blocked = sorted({b.strip().lower().lstrip(".") for b in blocked_hosts
+                      if b.strip()})
+    h = host_of(canonicalize_url(F.col(url_col)))
+    lst = F.array(*[F.lit(b) for b in blocked])
+    hit = F.exists(
+        lst,
+        lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b)),
+    )
+    return docs.filter(hit if keep_blocked else ~hit)

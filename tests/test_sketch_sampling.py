@@ -132,3 +132,59 @@ def test_ppl_buckets_partitions_and_cutoffs(spark):
     # LM — the known self-training quirk, so it is not compared.)
     scores = {r["doc_id"]: r["avg_logprob"] for r in out}
     assert scores[4] < scores[0]
+
+
+def test_mixture_quotas_and_sample(spark):
+    from powergraph_spark.datapipe import mixture_quotas, mixture_sample
+
+    assert mixture_quotas({"a": 0.5, "b": 0.3, "c": 0.2}, 10) == {
+        "a": 5, "b": 3, "c": 2
+    }
+    # largest remainder: 7*0.5=3.5, 7*0.3=2.1, 7*0.2=1.4 -> 3,2,1 + 1
+    # to the largest remainder (a: .5)
+    assert mixture_quotas({"a": 0.5, "b": 0.3, "c": 0.2}, 7) == {
+        "a": 4, "b": 2, "c": 1
+    }
+    rows = [
+        Row(doc_id=i, lang=["en", "fr", "de"][i % 3]) for i in range(60)
+    ]
+    for parts in (2, 16):
+        df = spark.createDataFrame(rows).repartition(parts)
+        out = mixture_sample(
+            df, {"en": 0.7, "fr": 0.3}, n=10, seed="m1"
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert {k: len(v) for k, v in got.items()} == {"en": 7, "fr": 3}
+        if parts == 2:
+            first = got
+        else:
+            assert got == first
+    # undersized stratum caps, never backfills
+    tiny = spark.createDataFrame(
+        [Row(doc_id=0, lang="en"), Row(doc_id=1, lang="fr")]
+    )
+    out = mixture_sample(tiny, {"en": 0.9, "fr": 0.1}, n=10).collect()
+    assert sorted(r["lang"] for r in out) == ["en", "fr"]
+
+
+def test_blocklist_filter_subdomain_semantics(spark):
+    from powergraph_spark.webtext.urls import blocklist_filter
+
+    rows = [
+        Row(doc_id=0, url="http://bad.com/x"),          # blocked exact
+        Row(doc_id=1, url="https://a.b.bad.com/y"),     # blocked subdomain
+        Row(doc_id=2, url="http://notbad.com/z"),       # suffix but no dot
+        Row(doc_id=3, url="http://good.org/w"),
+        Row(doc_id=4, url="HTTP://BAD.COM:80/caps"),    # canonicalized
+        Row(doc_id=5, url="http://bad.com.evil.net/"),  # bad.com not the host tail
+    ]
+    df = spark.createDataFrame(rows)
+    kept = {r["doc_id"] for r in
+            blocklist_filter(df, ["bad.com"]).collect()}
+    assert kept == {2, 3, 5}
+    dropped = {r["doc_id"] for r in
+               blocklist_filter(df, ["bad.com"], keep_blocked=True)
+               .collect()}
+    assert dropped == {0, 1, 4}
