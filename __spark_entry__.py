@@ -12,6 +12,7 @@ comparison is robust to summation order.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -511,6 +512,26 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(withurl, BLOCKED, url_col="url").orderBy(
         "doc_id"
     )
+
+
+def q_sppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus SPPMI entries (algorithms/embeddings.py): the
+    NetMF/Levy-Goldberg matrix the node-embedding SVD factorizes —
+    window-2 co-occurrence over the deterministic length-3 walks,
+    shifted positive PMI. (The downstream factorization is the
+    already-oracled svd machinery; the end-to-end composition is
+    pytest-covered in test_embeddings.py.)"""
+    from powergraph_spark.algorithms import random_walks, sppmi
+    from powergraph_spark.algorithms.embeddings import walk_cooccurrence
+
+    g = _co_graph(spark, sf_dir, P=16)
+    wk = random_walks(g, walks_per_vertex=1, length=WALK_LEN)
+    m = sppmi(walk_cooccurrence(wk.walks, window=2))
+    return m.select(
+        F.col("a").alias("i"),
+        F.col("b").alias("j"),
+        F.round("val", 5).alias("val"),
+    ).orderBy("i", "j")
 
 
 def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2702,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dups": q_image_dups,
         "mixture40": q_mixture,
         "blocklist": q_blocklist,
+        "sppmi2": q_sppmi,
     }
 
 
@@ -4360,9 +4382,11 @@ ORDER BY count DESC, gram ASC LIMIT {topk}
 """
 
 
-def _walks_sql(length: int) -> str:
-    """Exact replay of q_walks3: dst-sorted edge index + per-step
-    md5 draw floor(u * out_degree); dead ends absorb."""
+def _walks_cte_parts(length: int) -> list[str]:
+    """Shared exact replay of random_walks over the co-graph:
+    dst-sorted edge index + per-step md5 draw floor(u * out_degree);
+    dead ends absorb. s{length} carries both the comma path (walks3)
+    and a BIGINT list ``plist`` (sppmi2)."""
 
     def u(t: int) -> str:
         h = f"md5('walk:{t}:' || s.start::VARCHAR || ':0')"
@@ -4378,24 +4402,64 @@ def _walks_sql(length: int) -> str:
         " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos"
         " FROM e)",
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
-        "s0 AS (SELECT id AS start, id AS cur, id::VARCHAR AS path"
-        " FROM v)",
+        "s0 AS (SELECT id AS start, id AS cur, id::VARCHAR AS path,"
+        " [id] AS plist FROM v)",
     ]
     for t in range(length):
         parts.append(
             f"s{t + 1} AS (SELECT s.start, "
             "COALESCE(x.dst, s.cur) AS cur, "
             "CASE WHEN x.dst IS NOT NULL THEN s.path || ',' || "
-            "x.dst::VARCHAR ELSE s.path END AS path "
+            "x.dst::VARCHAR ELSE s.path END AS path, "
+            "CASE WHEN x.dst IS NOT NULL THEN "
+            "list_append(s.plist, x.dst) ELSE s.plist END AS plist "
             f"FROM s{t} s "
             "LEFT JOIN deg d ON d.src = s.cur "
             "LEFT JOIN eidx x ON x.src = s.cur AND x.pos = "
             f"CAST(floor({u(t)} * d.d) AS BIGINT))"
         )
+    return parts
+
+
+def _walks_sql(length: int) -> str:
+    """Exact replay of q_walks3 (see _walks_cte_parts)."""
+    return (
+        f"WITH {_SQL_EDGES.strip().rstrip()},\n"
+        + ",\n".join(_walks_cte_parts(length))
+        + f"\nSELECT start, path FROM s{length} ORDER BY start"
+    )
+
+
+def _sppmi_sql(length: int, window: int, shift: float = 1.0) -> str:
+    """DuckDB twin of q_sppmi: the shared walk replay, windowed
+    ordered co-occurrence pairs, and the identical SPPMI composition
+    ln(c * t / (r * s)) - ln(shift), positives only."""
+    parts = _walks_cte_parts(length)
+    parts += [
+        f"wk AS (SELECT plist FROM s{length})",
+        "px AS (SELECT plist, "
+        "unnest(generate_series(1, len(plist))) AS i FROM wk)",
+        "pr AS (SELECT plist[i] AS a, plist[j] AS b FROM ("
+        "SELECT plist, i, unnest(generate_series("
+        f"greatest(1, i - {window}), least(len(plist), i + {window})"
+        ")) AS j FROM px) WHERE j <> i)",
+        "cooc AS MATERIALIZED (SELECT a, b, COUNT(*)::DOUBLE AS c "
+        "FROM pr GROUP BY a, b)",
+        "tot AS (SELECT SUM(c) AS t FROM cooc)",
+        "rowm AS (SELECT a, SUM(c) AS r FROM cooc GROUP BY a)",
+        "colm AS (SELECT b, SUM(c) AS s FROM cooc GROUP BY b)",
+    ]
     return (
         f"WITH {_SQL_EDGES.strip().rstrip()},\n"
         + ",\n".join(parts)
-        + f"\nSELECT start, path FROM s{length} ORDER BY start"
+        + f"""
+SELECT i, j, ROUND(val, 5) AS val FROM (
+  SELECT c.a AS i, c.b AS j,
+         ln(c.c * tot.t / (rowm.r * colm.s)) - {math.log(shift)!r}
+           AS val
+  FROM cooc c JOIN rowm USING (a) JOIN colm USING (b) CROSS JOIN tot
+) WHERE val > 0 ORDER BY i, j
+"""
     )
 
 
@@ -5087,6 +5151,7 @@ FROM toks ORDER BY doc_id
         "qsample": _qsample_sql(),
         "gibbs2": _gibbs_sql(GIBBS_BETA, GIBBS_SWEEPS),
         "walks3": _walks_sql(WALK_LEN),
+        "sppmi2": _sppmi_sql(WALK_LEN, 2),
         "scc": """
 WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
 nn AS (SELECT COUNT(*) AS n FROM ids),

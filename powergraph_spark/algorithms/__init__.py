@@ -15,6 +15,12 @@ from .directed_triangles import (
     directed_triangle_totals,
 )
 from .eigen import normalize_eigenvector, top_eigenvector
+from .embeddings import (
+    EmbeddingResult,
+    node_embeddings,
+    sppmi,
+    walk_cooccurrence,
+)
 from .laplacian import graph_laplacian, write_spectral_inputs
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
@@ -50,6 +56,10 @@ from .sssp import dijkstra_tree, sssp
 from .triangle_count import triangle_count, triangle_edge_counts
 
 __all__ = [
+    "EmbeddingResult",
+    "node_embeddings",
+    "sppmi",
+    "walk_cooccurrence",
     "ALSResult",
     "als",
     "als_predict",
