@@ -327,12 +327,19 @@ def image_near_dups(
     (id_a, id_b, hamming). 100 TB shape: decode+hash is one
     Arrow-batched pass; everything after is the bounded block join on
     16-char strings."""
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import simhash_block_bounds, simhash_hamming
 
     bounds = simhash_block_bounds(max_hamming)
+    # persist the hash table (one 16-char row per image): the plan
+    # references it on BOTH sides of the self-join plus the bucket-cap
+    # window, and without this the python decode kernel would re-run
+    # for each branch — the one genuinely expensive stage must be the
+    # single Arrow-batched pass the docstring promises
     sh = image_ahash(media, grid=grid).select(
         F.col("media_id").alias("id"), "ahash"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sh.select(
         "id", "ahash",
         F.explode(F.array(*[
