@@ -79,8 +79,11 @@ def test_oracle_keys_subset_of_queries():
     o = set(entrymod.oracle_sql())
     assert o <= q, o - q
     # non-SQL-expressible queries get the weaker rows-only check; keep
-    # the set deliberate and small
-    assert q - o == set(), q - o
+    # the set deliberate and small. image_dups decodes binary netpbm
+    # images through an Arrow-batched Pandas UDF (aHash), which DuckDB
+    # cannot replay; its correctness oracle is the in-repo pytest
+    # (tests/test_multimodal_dedup.py) against a pure-python decoder.
+    assert q - o == {"image_dups"}, q - o
 
 
 def test_entry_smoke(spark):
