@@ -26,7 +26,7 @@ def main() -> None:
         "--algorithm", default="cc",
         choices=["pagerank", "cc", "sssp", "triangles", "kcore",
                  "coloring", "diameter", "labelprop", "gibbs", "scc",
-                 "walks"],
+                 "walks", "ddmap"],
     )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -34,10 +34,15 @@ def main() -> None:
     ap.add_argument("--source", type=int, default=0,
                     help="sssp source vertex")
     ap.add_argument("--kcore-k", type=int, default=3)
-    ap.add_argument("--gibbs-states", type=int, default=2)
+    ap.add_argument("--gibbs-states", type=int, default=2,
+                    help="MRF states (gibbs and ddmap)")
     ap.add_argument("--gibbs-beta", type=float, default=1.0)
     ap.add_argument("--gibbs-sweeps", type=int, default=3)
     ap.add_argument("--seed", default="gibbs")
+    ap.add_argument("--dd-step", type=float, default=1.0)
+    ap.add_argument("--potentials", default=None,
+                    help="parquet with (id, potential array<double>) "
+                         "log priors for ddmap; defaults to zeros")
     ap.add_argument("--walk-length", type=int, default=10)
     ap.add_argument("--walks-per-vertex", type=int, default=1)
     args = ap.parse_args()
@@ -48,6 +53,7 @@ def main() -> None:
         approx_diameter,
         chromatic_gibbs,
         coloring,
+        dual_decomposition_map,
         connected_components,
         kcore_vertices,
         label_propagation,
@@ -93,6 +99,25 @@ def main() -> None:
             g, walks_per_vertex=args.walks_per_vertex,
             length=args.walk_length, seed=args.seed,
         ).walks
+    elif a == "ddmap":
+        from pyspark.sql import functions as F
+        if args.potentials:
+            pots = spark.read.parquet(args.potentials)
+        else:
+            k = args.gibbs_states
+            pots = g.vertices.select(
+                "id",
+                F.expr(f"array_repeat(CAST(0.0 AS DOUBLE), {k})")
+                .alias("potential"),
+            )
+        res = dual_decomposition_map(
+            g, pots, num_states=args.gibbs_states,
+            step_size=args.dd_step,
+            max_iterations=args.max_iterations, verbose=True,
+        )
+        print(f"dd dual={res.dual} primal={res.primal} "
+              f"agreement={res.agreement}")
+        out = res.assignments.select("id", "label")
     elif a == "gibbs":
         # Potts/Ising sample: proper coloring first (chromatic
         # schedule), then determinized class-parallel sweeps

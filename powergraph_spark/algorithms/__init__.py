@@ -22,6 +22,7 @@ from .embeddings import (
     walk_cooccurrence,
 )
 from .laplacian import graph_laplacian, write_spectral_inputs
+from .dd import DDResult, dual_decomposition_map
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .gibbs import GibbsResult, chromatic_gibbs
@@ -97,6 +98,8 @@ __all__ = [
     "write_spectral_inputs",
     "LBPResult",
     "lbp",
+    "DDResult",
+    "dual_decomposition_map",
     "belief_probabilities",
     "LDAResult",
     "lda",
