@@ -80,6 +80,24 @@ from ..graph import Graph
 STEP_SIZE = 1.0           # dd_opts.hpp:78
 DUAL_IMPROVE_TOL = 1e-12  # dd_opts.hpp:75 (documentation only; see above)
 
+# --- projected variant (dd_vertex_program_projected, :656-871) -------
+#
+# The Komodakis-style projected subgradient program alternates two
+# reference iterations: EVEN = factor phase — each factor maximizes
+# fpot + (lambda + eps) over its configurations, where eps is the unary
+# potential split equally over the variable's factors
+# (edge.data().potentials = vdata.potentials / vdata.degree,
+# dd_main.hpp:343), and writes its vote for each variable as a one-hot
+# local MAP on the edge (:836-857); ODD = variable phase — beliefs =
+# (sum of one-hot votes) / degree (:766-771), and every multiplier
+# moves toward consensus, lambda += s * (beliefs - local_vote)
+# (:826-833), stepsize rule 1 evaluated at the odd iteration:
+# s_t = step / (2t + 3) for the t-th even/odd pair. One BSP superstep
+# here executes one full pair. Unlike the symmetric program, no float
+# crosses an aggregation boundary (votes are integers; every lambda /
+# belief / factor score is a per-edge local expression), so a SQL twin
+# replays it bit-for-bit with the same expression shapes.
+
 
 def _vec_sum(df: DataFrame, key: str, arr_col: str) -> DataFrame:
     """(id, vsum): element-wise sum of array rows per key."""
@@ -306,6 +324,223 @@ def dual_decomposition_map(
         .select("id", _argmax_first(F.col("belief")).cast("long")
                 .alias("label"), "belief")
     )
+    return DDResult(
+        assignments=assignments,
+        multipliers=final_msgs,
+        dual=float(row["d"]),
+        primal=float(row["p"]),
+        primal_best=float(max(primal_hist, default=row["p"])),
+        agreement=int(row["dis"]) == 0,
+        gas=result,
+    )
+
+
+def dd_map_projected(
+    graph: Graph,
+    potentials: DataFrame,
+    num_states: int,
+    factor_expr: str | None = None,
+    smoothing: float = 2.0,
+    weight_col: str | None = None,
+    step_size: float = STEP_SIZE,
+    tol: float = 0.0,
+    max_iterations: int = 100,
+    verbose: bool = False,
+) -> DDResult:
+    """MAP inference via the PROJECTED dual-decomposition program
+    (dd_vertex_program_projected, dd_grlab.hpp:656-871; see the
+    variant note above). Arguments as in ``dual_decomposition_map``.
+    One superstep = one even/odd reference pair: factor votes (one-hot
+    local MAPs) then consensus multiplier update
+    lambda += s_t * (votes/degree - vote), s_t = step/(2t+3).
+    ``assignments.belief`` carries the integer vote counts per state
+    (the reference's beliefs times the degree — same argmax, exact
+    arithmetic)."""
+    C = int(num_states)
+    P = graph.num_partitions
+    pot = potentials.select("id", "potential")
+
+    if factor_expr is None:
+        w = (
+            F.col(weight_col).cast("double") if weight_col is not None
+            else F.lit(1.0)
+        )
+        fpot = F.expr(
+            f"transform(sequence(0, {C * C - 1}), i -> "
+            f"CASE WHEN i div {C} = i % {C} THEN 0.0E0 "
+            f"ELSE -({smoothing!r} * CAST(_w AS DOUBLE)) END)"
+        )
+        base = graph.edges.select("src", "dst", w.alias("_w"))
+    else:
+        fpot = F.expr(factor_expr)
+        base = graph.edges
+
+    deg = (
+        base.selectExpr("src AS id").unionAll(base.selectExpr("dst AS id"))
+        .groupBy("id").agg(F.count("*").cast("double").alias("deg"))
+    )
+    # static per-vertex view: potential, degree, and the per-edge unary
+    # share eps = potential / degree (edge.data().potentials,
+    # dd_main.hpp:343)
+    vd = (
+        pot.join(deg.hint("shuffle_hash"), "id")
+        .select(
+            "id", "potential", "deg",
+            F.expr("transform(potential, x -> x / deg)").alias("eps"),
+        )
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vd.count()
+
+    zero = F.expr(f"array_repeat(CAST(0.0 AS DOUBLE), {C})")
+    init = (
+        base.select("src", "dst", fpot.alias("fpot"))
+        .join(vd.selectExpr("id AS src", "eps AS es"), "src")
+        .join(vd.selectExpr("id AS dst", "eps AS ed"), "dst")
+        .select(
+            "src", "dst", "fpot", "es", "ed",
+            zero.alias("lam_s"), zero.alias("lam_d"),
+            zero.alias("loc_s"), zero.alias("loc_d"),
+            F.lit(0.0).alias("fmax"), F.lit(2).alias("dis"),
+            F.lit(0.0).alias("dual_part"), F.lit(0.0).alias("primal_part"),
+        )
+        .repartition(P, "src")
+    )
+
+    # the factor phase (EVEN iteration): score every configuration with
+    # the multipliers-plus-unary-shares gather (:734, :785-793); the
+    # expression shape (fpot + (lam+eps)_src + (lam+eps)_dst, left to
+    # right) is the contract a SQL twin replays bit-for-bit
+    fb = F.expr(
+        f"transform(sequence(0, {C * C - 1}), i -> "
+        f"fpot[i] + (lam_s[i div {C}] + es[i div {C}]) "
+        f"+ (lam_d[i % {C}] + ed[i % {C}]))"
+    )
+
+    def onehot(star: str) -> Column:
+        return F.expr(
+            f"transform(sequence(0, {C - 1}), j -> "
+            f"CASE WHEN j = {star} THEN 1.0E0 ELSE 0.0E0 END)"
+        )
+
+    def step(g: Graph, state: DataFrame, i: int):
+        s_t = step_size / (2 * i + 3)  # rule 1 at the odd iteration
+        ph = (
+            state.select("src", "dst", "fpot", "es", "ed",
+                         "lam_s", "lam_d")
+            .withColumn("_fb", fb)
+            .withColumn("_fidx", _argmax_first(F.col("_fb")))
+            .withColumn("_as", F.expr(f"_fidx div {C}"))
+            .withColumn("_bs", F.expr(f"_fidx % {C}"))
+        )
+        # variable phase (ODD iteration): integer vote counts per
+        # vertex (beliefs * degree, :766-771) — the only aggregation in
+        # the loop, and it sums exact 0/1 doubles
+        votes = truncate_plan(
+            _vec_sum(
+                ph.select(F.col("src").alias("v"),
+                          onehot("_as").alias("m"))
+                .unionAll(ph.select(F.col("dst").alias("v"),
+                                    onehot("_bs").alias("m"))),
+                "v", "m",
+            )
+            .withColumnRenamed("id", "v")
+            .join(vd.hint("shuffle_hash"), F.col("v") == F.col("id"))
+            .select(
+                "v", F.col("vsum").alias("votes"), "deg",
+                _argmax_first(F.col("vsum")).alias("xstar"),
+                (F.expr("potential[array_position(vsum, "
+                        "array_max(vsum)) - 1]") / F.col("deg")
+                 ).alias("pshare"),
+            )
+        )
+        upd = lambda lam, votes_c, deg_c, loc: F.expr(  # noqa: E731
+            f"transform({lam}, (v, j) -> v + CAST({s_t!r} AS DOUBLE) * "
+            f"({votes_c}[j] / {deg_c} - {loc}[j]))"
+        )
+        new_state = (
+            ph
+            .join(
+                votes.selectExpr("v AS src", "votes AS vo_s",
+                                 "deg AS deg_s", "xstar AS xs",
+                                 "pshare AS psh_s")
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .join(
+                votes.selectExpr("v AS dst", "votes AS vo_d",
+                                 "deg AS deg_d", "xstar AS xd",
+                                 "pshare AS psh_d")
+                .hint("shuffle_hash"),
+                "dst",
+            )
+            .withColumn("_ls", onehot("_as"))
+            .withColumn("_ld", onehot("_bs"))
+            .select(
+                "src", "dst", "fpot", "es", "ed",
+                upd("lam_s", "vo_s", "deg_s", "_ls").alias("lam_s"),
+                upd("lam_d", "vo_d", "deg_d", "_ld").alias("lam_d"),
+                F.col("_ls").alias("loc_s"),
+                F.col("_ld").alias("loc_d"),
+                F.array_max("_fb").alias("fmax"),
+                (
+                    (F.col("_as") != F.col("xs")).cast("int")
+                    + (F.col("_bs") != F.col("xd")).cast("int")
+                ).alias("dis"),
+                # projected dual: unary potentials live inside the
+                # factor subproblems, so the dual is the factor sum
+                F.array_max("_fb").alias("dual_part"),
+                (F.expr(f"fpot[xs * {C} + xd]") + F.col("psh_s")
+                 + F.col("psh_d")).alias("primal_part"),
+            )
+        )
+        return new_state, None
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            F.sum("dis").alias("active"),
+            (F.sum("dual_part") - F.sum("primal_part")).alias("metric"),
+        ],
+        tol=tol,
+        max_iterations=max_iterations,
+        aggregators={
+            "dual": [F.sum("dual_part").alias("dual")],
+            "primal": [F.sum("primal_part").alias("primal")],
+        },
+        origin_free_checkpoint=True,
+        verbose=verbose,
+    )
+
+    row = result.state.agg(
+        F.sum("dual_part").alias("d"), F.sum("primal_part").alias("p"),
+        F.sum("dis").alias("dis"),
+    ).collect()[0]
+    primal_hist = [
+        m.extras["primal"] for m in result.metrics
+        if "primal" in m.extras
+    ]
+    final_msgs = result.state.select("src", "dst", "lam_s", "lam_d")
+    loc_rows = result.state.selectExpr("src AS v", "loc_s AS m").unionAll(
+        result.state.selectExpr("dst AS v", "loc_d AS m")
+    )
+    # decode = argmax of vote counts; factor-less vertices keep their
+    # prior argmax (left join)
+    bel = F.when(F.col("vsum").isNull(), F.col("potential")).otherwise(
+        F.col("vsum")
+    )
+    assignments = (
+        pot.join(_vec_sum(loc_rows, "v", "m").hint("shuffle_hash")
+                 .withColumnRenamed("id", "vid"),
+                 pot.id == F.col("vid"), "left")
+        .select("id", bel.alias("belief"))
+        .select("id", _argmax_first(F.col("belief")).cast("long")
+                .alias("label"), "belief")
+    )
+    vd.unpersist()
     return DDResult(
         assignments=assignments,
         multipliers=final_msgs,
