@@ -22,7 +22,7 @@ from .embeddings import (
     walk_cooccurrence,
 )
 from .laplacian import graph_laplacian, write_spectral_inputs
-from .dd import DDResult, dual_decomposition_map
+from .dd import DDResult, dd_map_projected, dual_decomposition_map
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
 from .gibbs import GibbsResult, chromatic_gibbs
@@ -34,6 +34,7 @@ from .kmeans import KMeansResult, cluster_sizes, kmeans
 from .kcore import coreness, kcore_stats, kcore_vertices
 from .ktruss import ktruss
 from .label_propagation import label_histogram, label_propagation
+from .mplp import MPLPResult, mplp_map
 from .nmf import nmf
 from .pagerank import (
     pagerank,
@@ -100,6 +101,9 @@ __all__ = [
     "lbp",
     "DDResult",
     "dual_decomposition_map",
+    "dd_map_projected",
+    "MPLPResult",
+    "mplp_map",
     "belief_probabilities",
     "LDAResult",
     "lda",
