@@ -22,6 +22,7 @@ from .embeddings import (
     walk_cooccurrence,
 )
 from .laplacian import graph_laplacian, write_spectral_inputs
+from .admm import ADMMResult, dd_map_admm, solve_qp_dense
 from .dd import DDResult, dd_map_projected, dual_decomposition_map
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
@@ -102,6 +103,9 @@ __all__ = [
     "DDResult",
     "dual_decomposition_map",
     "dd_map_projected",
+    "ADMMResult",
+    "dd_map_admm",
+    "solve_qp_dense",
     "MPLPResult",
     "mplp_map",
     "belief_probabilities",
