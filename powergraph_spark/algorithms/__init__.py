@@ -22,7 +22,7 @@ from .embeddings import (
     walk_cooccurrence,
 )
 from .laplacian import graph_laplacian, write_spectral_inputs
-from .admm import ADMMResult, dd_map_admm, solve_qp_dense
+from .admm import ADMMResult, dd_map_admm, dd_map_bethe, solve_qp_dense
 from .dd import DDResult, dd_map_projected, dual_decomposition_map
 from .lbp import LBPResult, belief_probabilities, lbp
 from .lda import LDAResult, doc_word_tokens, lda, top_words
@@ -105,6 +105,7 @@ __all__ = [
     "dd_map_projected",
     "ADMMResult",
     "dd_map_admm",
+    "dd_map_bethe",
     "solve_qp_dense",
     "MPLPResult",
     "mplp_map",

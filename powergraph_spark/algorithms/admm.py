@@ -32,10 +32,10 @@ reference iterations per pair:
 One BSP superstep here executes one full even/odd pair. The factor
 graph never materializes: a pairwise DENSE factor IS its edge row, and
 the QP caches (active set, distribution, inverse KKT matrix) ride the
-row as variable-length array columns. XOR / BUDGET factors and the
-Bethe-ADMM program (ad3_qp.hpp:1025-1223) are the reference's
-UAI-general surface and remain out of scope, like the higher-order
-factors of the subgradient programs.
+row as variable-length array columns. XOR / BUDGET factors are the
+reference's UAI-general surface and remain out of scope, like the
+higher-order factors of the subgradient programs; the Bethe-ADMM
+program is built below (``dd_map_bethe``).
 
 Spark mapping (100 TB shape): the even phase is embarrassingly
 row-local — one Arrow-batched mapInPandas pass runs the tiny
@@ -64,6 +64,19 @@ depletion, or duality gap <= tol when tol > 0, or max_iterations.
 Engine-independent QP: ``solve_qp_dense`` is a pure-python faithful
 port of SolveQP_dense and is unit-tested directly against exhaustive
 KKT optimality checks (tests/test_admm.py).
+
+This module also implements the BETHE-ADMM program
+(bethe_admm_vertex_program, ad3_qp.hpp:1025-1223; Fu, Wang & Banerjee,
+UAI 2013, the reference's ``algorithm 3``): the same ADMM loop, but
+the factor subproblem is the Bethe-entropy prox, which for one
+pairwise factor is CLOSED FORM — exponentiate base EXP=10
+(ad3_qp.hpp:45) the eta potentials scaled by 1/alpha, fold in the
+entropy gradient at the previous beliefs (compute_grad_phi
+:1038-1060), and run one exact sum-product pass over the single
+factor (run_bp :1063-1121), then clamp at 1e-99 (adjust_beliefs
+:1124-1137). No QP, no caches: the even phase stays entirely JVM-side
+(transform/aggregate/power expressions), so unlike AD3 a SQL twin can
+replay it (q_bethe2).
 """
 
 from __future__ import annotations
@@ -571,6 +584,313 @@ def dd_map_admm(
     ]
     # decode at the LAST CHECKED iterate: the state's p columns hold
     # exactly the beliefs the final dual/primal/agreement refer to
+    sides = result.state.selectExpr("src AS v", "p_s AS b").unionAll(
+        result.state.selectExpr("dst AS v", "p_d AS b")
+    )
+    per_v = sides.groupBy("v").agg(F.min("b").alias("bel"))
+    assignments = (
+        pot.join(per_v.hint("shuffle_hash"),
+                 pot.id == F.col("v"), "left")
+        .select("id", F.coalesce("bel", "potential").alias("belief"))
+        .select("id", _argmax_first(F.col("belief")).cast("long")
+                .alias("label"), "belief")
+    )
+    vd.unpersist()
+    return ADMMResult(
+        assignments=assignments,
+        beliefs=result.state.select("src", "dst", "p_s", "p_d",
+                                    "q_s", "q_d"),
+        multipliers=result.state.select("src", "dst", "lam_s", "lam_d"),
+        dual=float(row["d"]),
+        primal=float(row["p"]),
+        primal_relaxed=float(row["pr"]),
+        primal_best=float(max(primal_hist, default=row["p"])),
+        agreement=int(row["dis"]) == 0,
+        gas=result,
+    )
+
+
+def dd_map_bethe(
+    graph: Graph,
+    potentials: DataFrame,
+    num_states: int,
+    factor_expr: str | None = None,
+    smoothing: float = 2.0,
+    weight_col: str | None = None,
+    step_size: float = STEP_SIZE,
+    alpha: float = 1.0,
+    tol: float = 0.0,
+    max_iterations: int = 100,
+    stop_at_agreement: bool = True,
+    verbose: bool = False,
+) -> ADMMResult:
+    """MAP inference via the BETHE-ADMM program
+    (bethe_admm_vertex_program; see the module note). Arguments as in
+    ``dd_map_admm`` plus ``alpha`` (the Bethe prox temperature,
+    dd_opts.hpp:77 default 1) and ``stop_at_agreement`` (False runs
+    every sweep — the fixed-count mode the q_bethe2 replay oracle
+    needs, as in mplp). The factor subproblem is closed form, so every
+    superstep is pure-JVM arithmetic — one posterior aggregation plus
+    two shuffle_hash joins, no python kernel."""
+    C = int(num_states)
+    P = graph.num_partitions
+    pot = potentials.select("id", "potential")
+
+    if factor_expr is None:
+        w = (
+            F.col(weight_col).cast("double") if weight_col is not None
+            else F.lit(1.0)
+        )
+        fpot = F.expr(
+            f"transform(sequence(0, {C * C - 1}), i -> "
+            f"CASE WHEN i div {C} = i % {C} THEN 0.0E0 "
+            f"ELSE -({smoothing!r} * CAST(_w AS DOUBLE)) END)"
+        )
+        base = graph.edges.select("src", "dst", w.alias("_w"))
+    else:
+        fpot = F.expr(factor_expr)
+        base = graph.edges
+
+    deg = (
+        base.selectExpr("src AS id").unionAll(base.selectExpr("dst AS id"))
+        .groupBy("id").agg(F.count("*").cast("double").alias("deg"))
+    )
+    vd = (
+        pot.join(deg.hint("shuffle_hash"), "id")
+        .select(
+            "id", "potential", "deg",
+            F.expr("transform(potential, x -> x / deg)").alias("eps"),
+        )
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vd.count()
+
+    zero = F.expr(f"array_repeat(CAST(0.0 AS DOUBLE), {C})")
+    half = F.expr(f"array_repeat(CAST(0.5 AS DOUBLE), {C})")
+    qinit = F.expr(
+        f"array_repeat(CAST({1.0 / (2 * C)!r} AS DOUBLE), {C})")
+    ufb = F.expr(
+        f"array_repeat(CAST({1.0 / (C * C)!r} AS DOUBLE), {C * C})")
+    init = (
+        base.select("src", "dst", fpot.alias("fpot"))
+        .join(vd.selectExpr("id AS src", "eps AS es"), "src")
+        .join(vd.selectExpr("id AS dst", "eps AS ed"), "dst")
+        .select(
+            "src", "dst", "fpot", "es", "ed",
+            zero.alias("lam_s"), zero.alias("lam_d"),
+            qinit.alias("q_s"), qinit.alias("q_d"),
+            half.alias("p_s"), half.alias("p_d"),
+            ufb.alias("fb"),
+            F.lit(1).alias("dis"),
+            F.lit(0.0).alias("dual_part"), F.lit(0.0).alias("primal_part"),
+            F.lit(0.0).alias("prel_part"), F.lit(0.0).alias("pres_part"),
+            F.lit(0.0).alias("dres_part"),
+        )
+        .repartition(P, "src")
+    )
+
+    s = float(step_size)
+    a = float(alpha)
+    # eta with the Bethe-entropy gradient folded in (compute_beliefs
+    # + compute_grad_phi, :1149-1176): base-10 exponentials
+    us = (
+        f"transform(sequence(0, {C - 1}), i -> "
+        f"power(10.0E0, ((lam_s[i] + es[i]) + CAST({s!r} AS DOUBLE) * "
+        f"(p_s[i] - q_s[i])) / CAST({a!r} AS DOUBLE)) "
+        f"* (10.0E0 * q_s[i]))"
+    )
+    ud = (
+        f"transform(sequence(0, {C - 1}), i -> "
+        f"power(10.0E0, ((lam_d[i] + ed[i]) + CAST({s!r} AS DOUBLE) * "
+        f"(p_d[i] - q_d[i])) / CAST({a!r} AS DOUBLE)) "
+        f"* (10.0E0 * q_d[i]))"
+    )
+    fe = (
+        f"transform(sequence(0, {C * C - 1}), c -> "
+        f"power(10.0E0, fpot[c] / CAST({a!r} AS DOUBLE)) "
+        f"* (fb[c] / 10.0E0) / q_s[c div {C}] / q_d[c % {C}])"
+    )
+    # one exact sum-product pass over the single pairwise factor
+    # (run_bp :1063-1121): per-side marginals and the factor marginal,
+    # each normalized; then the 1e-99 underflow clamp (:1124-1137)
+    _sum = "aggregate({0}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    raw_qs = (
+        f"transform(sequence(0, {C - 1}), i -> _us[i] * "
+        f"aggregate(transform(sequence(0, {C - 1}), j -> "
+        f"_fe[i * {C} + j] * _ud[j]), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x))"
+    )
+    raw_qd = (
+        f"transform(sequence(0, {C - 1}), j -> _ud[j] * "
+        f"aggregate(transform(sequence(0, {C - 1}), i -> "
+        f"_fe[i * {C} + j] * _us[i]), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x))"
+    )
+    raw_fb = (
+        f"transform(sequence(0, {C * C - 1}), c -> "
+        f"_fe[c] * _us[c div {C}] * _ud[c % {C}])"
+    )
+    clampnorm = (
+        "transform({0}, x -> greatest(x / " + _sum.format("{0}")
+        + ", 1.0E-99))"
+    )
+
+    def even_cols(df: DataFrame) -> DataFrame:
+        return (
+            df
+            .withColumn("_us", F.expr(us))
+            .withColumn("_ud", F.expr(ud))
+            .withColumn("_fe", F.expr(fe))
+            .withColumn("_rqs", F.expr(raw_qs))
+            .withColumn("_rqd", F.expr(raw_qd))
+            .withColumn("_rfb", F.expr(raw_fb))
+            .withColumn(
+                "_dual",
+                F.expr(
+                    f"array_max(transform(sequence(0, {C * C - 1}), "
+                    f"c -> fpot[c] + (lam_s[c div {C}] + es[c div {C}])"
+                    f" + (lam_d[c % {C}] + ed[c % {C}])))"
+                ),
+            )
+            .select(
+                "src", "dst", "fpot", "es", "ed", "lam_s", "lam_d",
+                F.expr(clampnorm.format("_rqs")).alias("q_s"),
+                F.expr(clampnorm.format("_rqd")).alias("q_d"),
+                "p_s", "p_d",
+                F.expr(clampnorm.format("_rfb")).alias("fb"),
+                F.col("_dual").alias("dual_part"),
+                (
+                    F.expr(
+                        "aggregate(zip_with(fpot, fb, (a, b) -> a * b),"
+                        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+                ).alias("prel_f"),
+                (
+                    F.expr(
+                        "aggregate(zip_with(q_s, p_s, (a, b) -> "
+                        "(a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+                        "(acc, x) -> acc + x)")
+                    + F.expr(
+                        "aggregate(zip_with(q_d, p_d, (a, b) -> "
+                        "(a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+                        "(acc, x) -> acc + x)")
+                ).alias("pres_part"),
+            )
+        )
+
+    def step(g: Graph, state: DataFrame, i: int):
+        ph = even_cols(
+            state.drop("dis", "primal_part", "prel_part", "dres_part"))
+        qsum = truncate_plan(
+            _vec_sum(
+                ph.select(F.col("src").alias("v"),
+                          F.col("q_s").alias("m"))
+                .unionAll(ph.select(F.col("dst").alias("v"),
+                                    F.col("q_d").alias("m"))),
+                "v", "m",
+            )
+            .withColumnRenamed("id", "v")
+            .join(vd.hint("shuffle_hash"), F.col("v") == F.col("id"))
+            .select(
+                "v",
+                F.expr("transform(vsum, x -> x / deg)").alias("pnew"),
+                "deg",
+                (F.expr(
+                    "potential[array_position("
+                    "transform(vsum, x -> x / deg), array_max("
+                    "transform(vsum, x -> x / deg))) - 1]"
+                ) / F.col("deg")).alias("pshare"),
+                (F.expr(
+                    "aggregate(zip_with(potential, vsum, (a, b) -> "
+                    "a * b / deg), CAST(0.0 AS DOUBLE), (acc, x) -> "
+                    "acc + x)"
+                ) / F.col("deg")).alias("prelshare"),
+                _argmax_first(
+                    F.expr("transform(vsum, x -> x / deg)")
+                ).alias("xstar"),
+            )
+        )
+        upd = lambda lam, pn, q: F.expr(  # noqa: E731
+            f"zip_with({lam}, zip_with({pn}, {q}, (p, q) -> p - q), "
+            f"(l, g) -> l + CAST({s!r} AS DOUBLE) * g)"
+        )
+        sq = lambda pn, po, dg: F.expr(  # noqa: E731
+            f"aggregate(zip_with({pn}, {po}, (a, b) -> "
+            f"(a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) / {dg}"
+        )
+        new_state = (
+            ph
+            .join(
+                qsum.selectExpr("v AS src", "pnew AS pn_s",
+                                "deg AS deg_s", "xstar AS xs",
+                                "pshare AS psh_s",
+                                "prelshare AS prl_s")
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .join(
+                qsum.selectExpr("v AS dst", "pnew AS pn_d",
+                                "deg AS deg_d", "xstar AS xd",
+                                "pshare AS psh_d",
+                                "prelshare AS prl_d")
+                .hint("shuffle_hash"),
+                "dst",
+            )
+            .select(
+                "src", "dst", "fpot", "es", "ed",
+                upd("lam_s", "pn_s", "q_s").alias("lam_s"),
+                upd("lam_d", "pn_d", "q_d").alias("lam_d"),
+                "q_s", "q_d",
+                F.col("pn_s").alias("p_s"), F.col("pn_d").alias("p_d"),
+                "fb",
+                (F.expr(f"fpot[xs * {C} + xd] + (lam_s[xs] + es[xs]) "
+                        f"+ (lam_d[xd] + ed[xd])")
+                 < F.col("dual_part")).cast("int").alias("dis"),
+                "dual_part",
+                (F.expr(f"fpot[xs * {C} + xd]") + F.col("psh_s")
+                 + F.col("psh_d")).alias("primal_part"),
+                (F.col("prel_f") + F.col("prl_s") + F.col("prl_d")
+                 ).alias("prel_part"),
+                "pres_part",
+                (sq("pn_s", "p_s", "deg_s")
+                 + sq("pn_d", "p_d", "deg_d")).alias("dres_part"),
+            )
+        )
+        return new_state, None
+
+    result = run_gas(
+        graph,
+        init,
+        step,
+        observe_aggs=lambda: [
+            (
+                F.sum("dis") if stop_at_agreement
+                else F.count(F.lit(1))
+            ).alias("active"),
+            (F.sum("dual_part") - F.sum("primal_part")).alias("metric"),
+        ],
+        tol=tol,
+        max_iterations=max_iterations,
+        aggregators={
+            "dual": [F.sum("dual_part").alias("dual")],
+            "primal": [F.sum("primal_part").alias("primal")],
+            "primal_rel": [F.sum("prel_part").alias("primal_rel")],
+            "primal_res": [F.sum("pres_part").alias("primal_res")],
+            "dual_res": [F.sum("dres_part").alias("dual_res")],
+        },
+        origin_free_checkpoint=True,
+        verbose=verbose,
+    )
+
+    row = result.state.agg(
+        F.sum("dual_part").alias("d"), F.sum("primal_part").alias("p"),
+        F.sum("prel_part").alias("pr"), F.sum("dis").alias("dis"),
+    ).collect()[0]
+    primal_hist = [
+        m.extras["primal"] for m in result.metrics
+        if "primal" in m.extras
+    ]
     sides = result.state.selectExpr("src AS v", "p_s AS b").unionAll(
         result.state.selectExpr("dst AS v", "p_d AS b")
     )

@@ -293,3 +293,161 @@ def test_admm_isolated_vertex_keeps_prior_argmax(spark):
     res = _run(spark, edges, pots, k=2, max_iterations=3)
     got = {r["id"]: r["label"] for r in res.assignments.collect()}
     assert got[7] == 1
+
+
+# ------------------------------------------------------------ Bethe-ADMM
+
+def _np_bethe(edges, pots, k, iters, step=1.0, alpha=1.0, fac=None):
+    """Independent replica of the Bethe-ADMM superstep: eta potentials
+    exponentiated base 10 and scaled 1/alpha with the Bethe-entropy
+    gradient folded in (10*q for the unaries, fb/(10*q_s*q_d) for the
+    factor), one exact sum-product pass per factor, per-block
+    normalization, 1e-99 clamp; then the shared ADMM odd phase. Stops
+    at the certificate like the engine."""
+    fac = fac or {e: _potts(2.0 * w, k) for e, w in edges.items()}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    eps = {v: pots[v] / deg[v] for v in deg}
+    lam = {e: (np.zeros(k), np.zeros(k)) for e in edges}
+    qs = {e: (np.full(k, 1.0 / (2 * k)), np.full(k, 1.0 / (2 * k)))
+          for e in edges}
+    p = {v: np.full(k, 0.5) for v in deg}
+    fbs = {e: np.full(k * k, 1.0 / (k * k)) for e in edges}
+    duals, primals = [], []
+    for _ in range(iters):
+        fmax, dual = {}, 0.0
+        for (a, b), (ls, ld) in lam.items():
+            alp = fac[(a, b)].reshape(-1)
+            le_s, le_d = ls + eps[a], ld + eps[b]
+            scores = np.array([
+                alp[c] + le_s[c // k] + le_d[c % k]
+                for c in range(k * k)
+            ])
+            fmax[(a, b)] = scores
+            dual += scores.max()
+            qa, qb = qs[(a, b)]
+            us = 10.0 ** ((le_s + step * (p[a] - qa)) / alpha) \
+                * (10.0 * qa)
+            ud = 10.0 ** ((le_d + step * (p[b] - qb)) / alpha) \
+                * (10.0 * qb)
+            fe = np.array([
+                10.0 ** (alp[c] / alpha) * (fbs[(a, b)][c] / 10.0)
+                / qa[c // k] / qb[c % k]
+                for c in range(k * k)
+            ])
+            rqs = np.array([
+                us[i] * sum(fe[i * k + j] * ud[j] for j in range(k))
+                for i in range(k)
+            ])
+            rqd = np.array([
+                ud[j] * sum(fe[i * k + j] * us[i] for i in range(k))
+                for j in range(k)
+            ])
+            rfb = np.array([fe[c] * us[c // k] * ud[c % k]
+                            for c in range(k * k)])
+            qs[(a, b)] = (np.maximum(rqs / rqs.sum(), 1e-99),
+                          np.maximum(rqd / rqd.sum(), 1e-99))
+            fbs[(a, b)] = np.maximum(rfb / rfb.sum(), 1e-99)
+        pn = {v: np.zeros(k) for v in deg}
+        for (a, b), (qa, qb) in qs.items():
+            pn[a] += qa
+            pn[b] += qb
+        pn = {v: pn[v] / deg[v] for v in deg}
+        xs = {v: int(np.argmax(pn[v])) for v in deg}
+        primal = sum(pots[v][xs[v]] for v in deg)
+        agree = True
+        for (a, b), (qa, qb) in qs.items():
+            primal += fac[(a, b)][xs[a], xs[b]]
+            sc = fmax[(a, b)]
+            agree = agree and sc[xs[a] * k + xs[b]] >= sc.max()
+            ls, ld = lam[(a, b)]
+            lam[(a, b)] = (ls + step * (pn[a] - qa),
+                           ld + step * (pn[b] - qb))
+        p = pn
+        duals.append(dual)
+        primals.append(primal)
+        if agree:
+            break
+    labels = {v: int(np.argmax(p[v])) if v in deg
+              else int(np.argmax(pots[v])) for v in pots}
+    return lam, p, labels, duals, primals
+
+
+def _run_bethe(spark, edges, pots, k, P=4, **kw):
+    from powergraph_spark.algorithms.admm import dd_map_bethe
+
+    edf = spark.createDataFrame(
+        [(a, b, float(w)) for (a, b), w in edges.items()],
+        "src long, dst long, w double",
+    )
+    g = Graph.from_edges(edf.select("src", "dst", "w"), num_partitions=P)
+    pdf = spark.createDataFrame(
+        [(v, [float(x) for x in p]) for v, p in pots.items()],
+        "id long, potential array<double>",
+    )
+    return dd_map_bethe(g, pdf, num_states=k, weight_col="w", **kw)
+
+
+def test_bethe_matches_numpy_replica(spark):
+    """Fixed 4 pairs replay the independent replica (1e-9: JVM
+    Math.pow and numpy ** may differ in the last ulp): multipliers,
+    beliefs, labels, metric streams."""
+    edges, pots = _loopy()
+    res = _run_bethe(spark, edges, pots, k=3, max_iterations=4)
+    lam, p, labels, duals, primals = _np_bethe(edges, pots, 3, iters=4)
+    got = {(r["src"], r["dst"]): (np.array(r["lam_s"]),
+                                  np.array(r["lam_d"]))
+           for r in res.multipliers.collect()}
+    for e, (ls, ld) in lam.items():
+        np.testing.assert_allclose(got[e][0], ls, atol=1e-9)
+        np.testing.assert_allclose(got[e][1], ld, atol=1e-9)
+    assert {r["id"]: r["label"]
+            for r in res.assignments.collect()} == labels
+    bel = {r["id"]: np.array(r["belief"])
+           for r in res.assignments.collect()}
+    for v in p:
+        np.testing.assert_allclose(bel[v], p[v], atol=1e-9)
+    md = [m.extras["dual"] for m in res.gas.metrics]
+    mp = [m.extras["primal"] for m in res.gas.metrics]
+    np.testing.assert_allclose(md, duals, atol=1e-9)
+    np.testing.assert_allclose(mp, primals, atol=1e-9)
+
+
+def test_bethe_recovers_map_on_strong_instance(spark):
+    edges = {(0, 1): 1.0, (1, 2): 1.0, (2, 3): 1.0, (3, 0): 1.0,
+             (1, 4): 0.5}
+    pots = {0: np.array([1.2, -0.3]), 1: np.array([0.8, -0.1]),
+            2: np.array([-0.4, 0.2]), 3: np.array([0.9, -0.6]),
+            4: np.array([-0.2, 0.1])}
+    res = _run_bethe(spark, edges, pots, k=2, max_iterations=100)
+    want_score, want_x = _brute_map(edges, pots, 2)
+    assert {r["id"]: r["label"]
+            for r in res.assignments.collect()} == want_x
+    # weak duality holds at every check regardless of the schedule
+    for m in res.gas.metrics:
+        assert m.extras["dual"] >= want_score - 1e-9
+        assert m.extras["primal"] <= want_score + 1e-9
+    if res.agreement:  # certificate, when reached, is exact
+        np.testing.assert_allclose(res.dual, want_score, atol=1e-9)
+        np.testing.assert_allclose(res.primal, want_score, atol=1e-9)
+
+
+def test_bethe_parallelism_invariance(spark):
+    edges, pots = _loopy()
+    a = _run_bethe(spark, edges, pots, k=3, P=2, max_iterations=4)
+    b = _run_bethe(spark, edges, pots, k=3, P=7, max_iterations=4)
+    la = sorted(
+        (r["src"], r["dst"],
+         tuple(round(x, 12) for x in r["lam_s"]),
+         tuple(round(x, 12) for x in r["lam_d"]))
+        for r in a.multipliers.collect()
+    )
+    lb = sorted(
+        (r["src"], r["dst"],
+         tuple(round(x, 12) for x in r["lam_s"]),
+         tuple(round(x, 12) for x in r["lam_d"]))
+        for r in b.multipliers.collect()
+    )
+    assert la == lb
