@@ -26,7 +26,13 @@ def main() -> None:
         "--algorithm", default="cc",
         choices=["pagerank", "cc", "sssp", "triangles", "kcore",
                  "coloring", "diameter", "labelprop", "gibbs", "scc",
-                 "walks", "ddmap"],
+                 "walks", "ddmap", "mplp"],
+    )
+    ap.add_argument(
+        "--dd-variant", default="symmetric",
+        choices=["symmetric", "projected", "admm", "bethe"],
+        help="ddmap solver program (the reference binary's "
+             "`algorithm 0/1/2/3` positional)",
     )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -99,8 +105,15 @@ def main() -> None:
             g, walks_per_vertex=args.walks_per_vertex,
             length=args.walk_length, seed=args.seed,
         ).walks
-    elif a == "ddmap":
+    elif a in ("ddmap", "mplp"):
         from pyspark.sql import functions as F
+
+        from powergraph_spark.algorithms import (
+            dd_map_admm,
+            dd_map_bethe,
+            dd_map_projected,
+            mplp_map,
+        )
         if args.potentials:
             pots = spark.read.parquet(args.potentials)
         else:
@@ -110,12 +123,18 @@ def main() -> None:
                 F.expr(f"array_repeat(CAST(0.0 AS DOUBLE), {k})")
                 .alias("potential"),
             )
-        res = dual_decomposition_map(
+        solver = mplp_map if a == "mplp" else {
+            "symmetric": dual_decomposition_map,
+            "projected": dd_map_projected,
+            "admm": dd_map_admm,
+            "bethe": dd_map_bethe,
+        }[args.dd_variant]
+        kw = {} if a == "mplp" else {"step_size": args.dd_step}
+        res = solver(
             g, pots, num_states=args.gibbs_states,
-            step_size=args.dd_step,
-            max_iterations=args.max_iterations, verbose=True,
+            max_iterations=args.max_iterations, verbose=True, **kw,
         )
-        print(f"dd dual={res.dual} primal={res.primal} "
+        print(f"{a} dual={res.dual} primal={res.primal} "
               f"agreement={res.agreement}")
         out = res.assignments.select("id", "label")
     elif a == "gibbs":
