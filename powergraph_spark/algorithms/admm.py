@@ -466,9 +466,15 @@ def dd_map_admm(
             yield res
 
     def step(g: Graph, state: DataFrame, i: int):
-        ph = state.drop("dis", "primal_part", "prel_part",
-                        "dres_part").mapInPandas(
-            even_phase, schema=even_schema)
+        # materialize the factor phase ONCE: ph re-enters the plan
+        # three times (both sides of the posterior union + the edge
+        # join), and without a barrier the per-row QP kernel would be
+        # re-executed for each consumer
+        ph = truncate_plan(
+            state.drop("dis", "primal_part", "prel_part",
+                       "dres_part").mapInPandas(
+                even_phase, schema=even_schema)
+        )
         # variable phase: p = (sum q)/deg plus per-degree shares of
         # the decoded/relaxed primal and the dual residual
         qsum = truncate_plan(
@@ -779,8 +785,11 @@ def dd_map_bethe(
         )
 
     def step(g: Graph, state: DataFrame, i: int):
-        ph = even_cols(
-            state.drop("dis", "primal_part", "prel_part", "dres_part"))
+        # materialize the factor phase ONCE (three downstream
+        # consumers; the eta/sum-product expression tree is the
+        # expensive part of a Bethe superstep)
+        ph = truncate_plan(even_cols(
+            state.drop("dis", "primal_part", "prel_part", "dres_part")))
         qsum = truncate_plan(
             _vec_sum(
                 ph.select(F.col("src").alias("v"),
