@@ -8,6 +8,8 @@ import argparse
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -190,3 +192,64 @@ def test_datapipe_job_semdedup_dsir_steps(spark, tmp_path):
     assert len(ids & set(range(10))) <= 1
     texts = [r["text"] for r in docs]
     assert sum(t.startswith("alpha") for t in texts) >= 2
+
+
+def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
+    """North-rule launch shape, end to end as a REAL subprocess:
+    build powergraph_spark.zip, `spark-submit --py-files <zip>
+    jobs/pagerank_job.py` on a tiny deterministic pages table, and
+    assert the written ranks are byte-identical to the in-session
+    engine at a different parallelism (the same cross-parallelism
+    invariant the scaling campaign certifies; reference launch:
+    toolkits/graph_analytics/pagerank.cpp:170-274 via mpiexec)."""
+    import shutil
+    import subprocess
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages_path = str(tmp_path / "pages")
+    out_path = str(tmp_path / "ranks")
+    zip_path = str(tmp_path / "powergraph_spark.zip")
+
+    from powergraph_spark.webtext import pages_to_graph, write_pages_table
+
+    write_pages_table(spark, pages_path, n_pages=400)
+
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path, "powergraph_spark"],
+        cwd=repo, check=True,
+    )
+
+    # Scrub PYTHONPATH so the driver can only import the package from
+    # the --py-files zip (neutral cwd for the same reason).
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            submit, "--master", "local[2]", "--driver-memory", "2g",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "pagerank_job.py"),
+            "--pages", pages_path, "--output", out_path,
+            "--tol", "1e-3", "--max-iterations", "15", "--partitions", "4",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "termination=" in proc.stdout
+
+    got = {
+        r["id"]: r["rank"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    g = pages_to_graph(spark.read.parquet(pages_path), num_partitions=4)
+    from powergraph_spark.algorithms import pagerank
+
+    res = pagerank(g, tol=1e-3, max_iterations=15)
+    want = {r["id"]: r["rank"] for r in res.state.select("id", "rank").collect()}
+    assert set(got) == set(want)
+    assert got == want  # byte-identical across parallelism levels
