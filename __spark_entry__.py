@@ -1918,6 +1918,44 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient from the per-vertex
+    triangle pass (undirected_triangle_count.cpp:350-660 PER_VERTEX
+    mode, extended per SURVEY §2.9), rounded 6dp."""
+    from powergraph_spark.algorithms.summary import local_clustering_coefficients
+
+    g = _co_graph(spark, sf_dir)
+    out = local_clustering_coefficients(g)
+    return out.select(
+        "id", "degree", "n_triangles", F.round("lcc", 6).alias("lcc")
+    ).orderBy("id")
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over the symmetrized edge list, rounded 6dp."""
+    from powergraph_spark.algorithms.summary import degree_assortativity
+
+    g = _co_graph(spark, sf_dir)
+    return degree_assortativity(g).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the 2-superstep label-propagation communities
+    (label_propagation.cpp:101-125 labels; Q per Newman-Girvan),
+    rounded 6dp."""
+    from powergraph_spark.algorithms.summary import modularity
+
+    g = _co_graph(spark, sf_dir)
+    res = label_propagation(g, max_iterations=2)
+    out = modularity(g, res.state.select("id", "label"))
+    return out.select(
+        F.round("modularity", 6).alias("modularity"), "n_communities"
+    )
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3193,6 +3231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "lcc": q_lcc,
+        "assortativity": q_assortativity,
+        "modularity_lp": q_modularity_lp,
     }
 
 
@@ -5606,6 +5647,82 @@ SELECT doc_id,
            i -> md5(array_to_string(t[i:i+4], ' '))))
        ELSE md5(text) END AS fingerprint
 FROM toks ORDER BY doc_id
+""",
+        "lcc": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS hi
+  FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM o ab JOIN o bc ON bc.lo = ab.hi JOIN o ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+credit AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+t AS (SELECT id, COUNT(*) AS n FROM credit GROUP BY id)
+SELECT v.id,
+       COALESCE(deg.d, 0) AS degree,
+       COALESCE(t.n, 0) AS n_triangles,
+       ROUND(CASE WHEN COALESCE(deg.d, 0) >= 2
+                  THEN 2.0 * COALESCE(t.n, 0)
+                       / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM v LEFT JOIN deg ON deg.id = v.id LEFT JOIN t ON t.id = v.id
+ORDER BY v.id
+""",
+        "assortativity": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)
+SELECT ROUND(CORR(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 6) AS assortativity
+FROM und JOIN deg da ON da.id = und.src JOIN deg db ON db.id = und.dst
+""",
+        "modularity_lp": f"""
+WITH {E},
+l1 AS (
+  SELECT v.id, COALESCE(MIN(und.src), v.id) AS label
+  FROM v LEFT JOIN und ON und.dst = v.id
+  GROUP BY v.id
+),
+c2 AS (
+  SELECT und.dst AS id, l1.label AS lbl, COUNT(*) AS cnt
+  FROM und JOIN l1 ON l1.id = und.src
+  GROUP BY und.dst, l1.label
+),
+b2 AS (
+  SELECT id, lbl,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+  FROM c2
+),
+lab AS (
+  SELECT l1.id, COALESCE(w.lbl, l1.label) AS c
+  FROM l1 LEFT JOIN (SELECT id, lbl FROM b2 WHERE rn = 1) w ON w.id = l1.id
+),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+mm AS (SELECT COUNT(*) AS m FROM e),
+internal AS (
+  SELECT la.c, COUNT(*) AS l_c
+  FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+  WHERE la.c = lb.c
+  GROUP BY la.c
+),
+mass AS (
+  SELECT lab.c, SUM(deg.d) AS d_c
+  FROM deg JOIN lab ON lab.id = deg.id
+  GROUP BY lab.c
+),
+perc AS (
+  SELECT CAST(COALESCE(i.l_c, 0) AS DOUBLE) / (SELECT m FROM mm)
+         - (CAST(mass.d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm)))
+           * (CAST(mass.d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm))) AS q_c
+  FROM mass LEFT JOIN internal i ON i.c = mass.c
+)
+SELECT ROUND(SUM(q_c), 6) AS modularity, COUNT(*) AS n_communities FROM perc
 """,
         "lang_histogram": _lang_sql(),
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),
