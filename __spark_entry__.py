@@ -1956,6 +1956,28 @@ def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W from the triangle pass +
+    wedge-count degree aggregate (SURVEY §2.9), rounded 6dp."""
+    from powergraph_spark.algorithms.summary import transitivity
+
+    g = _co_graph(spark, sf_dir)
+    return transitivity(g).select(
+        "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed lineitem-order graph: fraction
+    of directed edges with a reverse edge (SURVEY §2.9), rounded 6dp."""
+    from powergraph_spark.algorithms.summary import reciprocity
+
+    g = _dir_graph(spark, sf_dir)
+    return reciprocity(g).select(
+        "n_directed", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3234,6 +3256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc": q_lcc,
         "assortativity": q_assortativity,
         "modularity_lp": q_modularity_lp,
+        "transitivity": q_transitivity,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -5723,6 +5747,38 @@ perc AS (
   FROM mass LEFT JOIN internal i ON i.c = mass.c
 )
 SELECT ROUND(SUM(q_c), 6) AS modularity, COUNT(*) AS n_communities FROM perc
+""",
+        "transitivity": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS hi
+  FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+),
+tt AS (
+  SELECT COUNT(*) AS t
+  FROM o ab JOIN o bc ON bc.lo = ab.hi JOIN o ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+ww AS (
+  SELECT SUM(CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0) / 2.0) AS w FROM deg
+)
+SELECT (SELECT t FROM tt) AS n_triangles,
+       CAST((SELECT w FROM ww) AS BIGINT) AS n_wedges,
+       ROUND(3.0 * (SELECT t FROM tt) / (SELECT w FROM ww), 6) AS transitivity
+""",
+        "reciprocity": f"""
+WITH {_SQL_DIR_EDGES.strip().rstrip()},
+nn AS (SELECT COUNT(*) AS n FROM ed),
+rr AS (
+  SELECT COUNT(*) AS r FROM ed e1
+  WHERE EXISTS (SELECT 1 FROM ed e2 WHERE e2.src = e1.dst AND e2.dst = e1.src)
+)
+SELECT (SELECT n FROM nn) AS n_directed,
+       (SELECT r FROM rr) AS n_reciprocal,
+       ROUND(CAST((SELECT r FROM rr) AS DOUBLE) / (SELECT n FROM nn), 6) AS reciprocity
 """,
         "lang_histogram": _lang_sql(),
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),

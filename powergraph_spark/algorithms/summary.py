@@ -106,6 +106,41 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     )
 
 
+def transitivity(graph: Graph) -> DataFrame:
+    """One row (n_triangles, n_wedges, transitivity): global
+    clustering coefficient 3*T / W with W = sum_v d(v)*(d(v)-1)/2.
+    One triangle pass + one degree aggregate; the ratio is a single
+    driver-side-free scalar expression."""
+    _per_v, total = triangle_count(graph)
+    deg = _und_degrees(_und_edges(graph))
+    d = F.col("deg").cast("double")
+    w = deg.agg(F.sum(d * (d - 1.0) / 2.0).alias("w")).collect()[0]["w"]
+    spark = graph.edges.sparkSession
+    t = float(total)
+    ratio = 3.0 * t / w if w and w > 0 else 0.0
+    return spark.createDataFrame(
+        [(int(total), int(w), ratio)],
+        "n_triangles long, n_wedges long, transitivity double",
+    )
+
+
+def reciprocity(graph: Graph) -> DataFrame:
+    """One row (n_directed, n_reciprocal, reciprocity): fraction of
+    directed edges whose reverse edge also exists (self-loops
+    excluded). A single self-semi-join on the reversed key — at scale
+    this is the same co-partitioned shuffle both sides already share.
+    """
+    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    r = e.join(rev, ["src", "dst"], "left_semi").count()
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(n, r, (float(r) / n) if n else 0.0)],
+        "n_directed long, n_reciprocal long, reciprocity double",
+    )
+
+
 def modularity(graph: Graph, labels: DataFrame, label_col: str = "label") -> DataFrame:
     """One row (modularity, n_communities) for a vertex->label map.
 

@@ -21,6 +21,8 @@ from powergraph_spark.algorithms.summary import (
     degree_assortativity,
     local_clustering_coefficients,
     modularity,
+    reciprocity,
+    transitivity,
 )
 from powergraph_spark.graph import Graph
 
@@ -60,6 +62,25 @@ def test_assortativity_matches_pearson(spark):
     sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
     sy = math.sqrt(sum((y - my) ** 2 for y in ys))
     assert abs(got - cov / (sx * sy)) < 1e-12
+
+
+def test_transitivity_hand_value(spark):
+    g = _graph(spark)
+    row = transitivity(g).collect()[0]
+    # T = 2; W = 3+1+1+6+0 = 11; 3T/W = 6/11
+    assert row["n_triangles"] == 2
+    assert row["n_wedges"] == 11
+    assert abs(row["transitivity"] - 6 / 11) < 1e-12
+
+
+def test_reciprocity_hand_value(spark):
+    g = Graph.from_pandas(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], num_partitions=4
+    )
+    row = reciprocity(g).collect()[0]
+    assert row["n_directed"] == 5
+    assert row["n_reciprocal"] == 4
+    assert abs(row["reciprocity"] - 0.8) < 1e-12
 
 
 def test_modularity_hand_value(spark):
