@@ -1978,6 +1978,23 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 link predictions by common-neighbor count (ties broken
+    by (a, b) — integer ordering, engine-portable), with Adamic-Adar
+    and Jaccard scores (SURVEY §2.9), rounded 6dp."""
+    from powergraph_spark.algorithms.link_prediction import top_link_predictions
+
+    g = _co_graph(spark, sf_dir)
+    out = top_link_predictions(g, k=100, min_common=2)
+    return out.select(
+        "a",
+        "b",
+        "cn",
+        F.round("aa", 6).alias("aa"),
+        F.round("jacc", 6).alias("jacc"),
+    )
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3258,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lp": q_modularity_lp,
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
+        "link_pred": q_link_pred,
     }
 
 
@@ -5779,6 +5797,30 @@ rr AS (
 SELECT (SELECT n FROM nn) AS n_directed,
        (SELECT r FROM rr) AS n_reciprocal,
        ROUND(CAST((SELECT r FROM rr) AS DOUBLE) / (SELECT n FROM nn), 6) AS reciprocity
+""",
+        "link_pred": f"""
+WITH {E},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+w AS (
+  SELECT u1.src AS c, u1.dst AS x, u2.dst AS y
+  FROM und u1 JOIN und u2 ON u1.src = u2.src AND u1.dst < u2.dst
+),
+p AS (
+  SELECT x AS a, y AS b, COUNT(*) AS cn,
+         SUM(1.0 / LN(CAST(dc.d AS DOUBLE))) AS aa
+  FROM w JOIN deg dc ON dc.id = w.c
+  GROUP BY x, y
+),
+np AS (
+  SELECT p.* FROM p LEFT JOIN e ON e.src = p.a AND e.dst = p.b
+  WHERE e.src IS NULL AND p.cn >= 2
+)
+SELECT np.a, np.b, np.cn,
+       ROUND(np.aa, 6) AS aa,
+       ROUND(CAST(np.cn AS DOUBLE) / (da.d + db.d - np.cn), 6) AS jacc
+FROM np JOIN deg da ON da.id = np.a JOIN deg db ON db.id = np.b
+ORDER BY np.cn DESC, np.a, np.b
+LIMIT 100
 """,
         "lang_histogram": _lang_sql(),
         "kcore": _kcore_sql(KCORE_K, KCORE_UNROLL),

@@ -83,6 +83,36 @@ def test_reciprocity_hand_value(spark):
     assert abs(row["reciprocity"] - 0.8) < 1e-12
 
 
+def test_link_prediction_hand_values(spark):
+    from powergraph_spark.algorithms.link_prediction import (
+        link_scores,
+        top_link_predictions,
+    )
+
+    g = _graph(spark)
+    # min_common=2: only (2,3) qualifies — common neighbors {1, 4}
+    rows = link_scores(g, min_common=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["cn"]) == (2, 3, 2)
+    assert abs(r["aa"] - (1 / math.log(3) + 1 / math.log(4))) < 1e-12
+    assert abs(r["jacc"] - 1.0) < 1e-12  # 2 / (2 + 2 - 2)
+
+    # min_common=1 adds the tail pairs through center 4
+    all_rows = {(r["a"], r["b"]): r["cn"] for r in link_scores(g, min_common=1).collect()}
+    assert all_rows == {(2, 3): 2, (1, 5): 1, (2, 5): 1, (3, 5): 1}
+
+    # hub cap drops center 4 (degree 4): only the wedge through 1 remains
+    capped = {
+        (r["a"], r["b"]): r["cn"]
+        for r in link_scores(g, min_common=1, hub_degree_cap=3).collect()
+    }
+    assert capped == {(2, 3): 1}
+
+    top = top_link_predictions(g, k=2, min_common=1).collect()
+    assert [(r["a"], r["b"]) for r in top] == [(2, 3), (1, 5)]
+
+
 def test_modularity_hand_value(spark):
     g = _graph(spark)
     spark_labels = [(1, 10), (2, 10), (3, 10), (4, 10), (5, 50)]
