@@ -2190,6 +2190,16 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness(g, _seeds(g), max_depth=BETW_DEPTH).orderBy("id")
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (Boldi-Vigna variant of
+    closeness.cpp's distance aggregate; SURVEY §2.9), same seeds and
+    depth as the closeness query, rounded 5dp."""
+    from powergraph_spark.algorithms import harmonic
+
+    g = _co_graph(spark, sf_dir)
+    return harmonic(g, _seeds(g), max_depth=BETW_DEPTH).orderBy("id")
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source Brandes betweenness (betweeness.cpp:167-310 is
     the reference's sampled-tree variant; we compute the exact Brandes
@@ -3276,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
         "link_pred": q_link_pred,
+        "harmonic": q_harmonic,
     }
 
 
@@ -4527,6 +4538,26 @@ dist AS (SELECT s, id, MIN(hops) AS d FROM walk GROUP BY s, id)
 SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(d)::BIGINT AS sum_dist,
        ROUND(CASE WHEN SUM(d) > 0 THEN COUNT(*)::DOUBLE / SUM(d)
                   ELSE 0.0 END, 5) AS closeness
+FROM dist GROUP BY id ORDER BY id
+"""
+
+
+def _harmonic_sql(n_seeds: int, max_depth: int) -> str:
+    # same BFS-walk CTE as _closeness_sql; harmonic aggregate on top
+    return f"""
+WITH RECURSIVE {_SQL_EDGES},
+seeds AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT {n_seeds}),
+walk(s, id, hops) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT walk.s, und.dst, walk.hops + 1
+  FROM walk JOIN und ON und.src = walk.id
+  WHERE walk.hops < {max_depth}
+),
+dist AS (SELECT s, id, MIN(hops) AS d FROM walk GROUP BY s, id)
+SELECT id,
+       (COUNT(*) FILTER (WHERE d > 0))::BIGINT AS n_reached,
+       ROUND(COALESCE(SUM(1.0 / d) FILTER (WHERE d > 0), 0.0), 5) AS harmonic
 FROM dist GROUP BY id ORDER BY id
 """
 
@@ -5994,6 +6025,7 @@ FROM f
         "laplacian": _LAPLACIAN_SQL,
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),
+        "harmonic": _harmonic_sql(N_SEEDS, BETW_DEPTH),
         "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
         "prestige": _prestige_sql(N_SEEDS, 8),
         "dijkstra_tree": _DIJKSTRA_SQL,

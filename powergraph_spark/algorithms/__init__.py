@@ -7,7 +7,7 @@ from .adpredictor import (
 from .approx_diameter import approx_diameter
 from .biassgd import BiasSGDResult, biassgd, biassgd_predict
 from .cascades import cascades, seed_status, sir_counts
-from .centrality import betweenness, closeness, multi_source_bfs, prestige
+from .centrality import betweenness, closeness, harmonic, multi_source_bfs, prestige
 from .coloring import coloring, count_colors, count_conflicts
 from .connected_components import component_sizes, connected_components
 from .directed_triangles import (
@@ -141,6 +141,7 @@ __all__ = [
     "normalized_adjacency",
     "multi_source_bfs",
     "closeness",
+    "harmonic",
     "prestige",
     "dijkstra_tree",
     "betweenness",

@@ -132,6 +132,29 @@ def closeness(
     )
 
 
+def harmonic(
+    graph: Graph,
+    sources: list[int],
+    directed: bool = False,
+    max_depth: int = 32,
+) -> DataFrame:
+    """(id, n_reached, harmonic): sampled-source harmonic centrality
+    sum_s 1/dist(s, v) over sources at positive distance (Boldi &
+    Vigna's axiom-friendly variant of closeness — finite under
+    disconnection, which closeness.cpp's average-distance output is
+    not). Same BFS as closeness; one extra conditional aggregate.
+    Rounded 5dp."""
+    bfs = multi_source_bfs(graph, sources, directed, max_depth)
+    pos = F.col("dist") > 0
+    agg = bfs.groupBy("id").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_reached"),
+        F.sum(
+            F.when(pos, 1.0 / F.col("dist").cast("double")).otherwise(0.0)
+        ).alias("h"),
+    )
+    return agg.select("id", "n_reached", F.round("h", 5).alias("harmonic"))
+
+
 def betweenness(
     graph: Graph,
     sources: list[int],

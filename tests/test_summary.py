@@ -113,6 +113,19 @@ def test_link_prediction_hand_values(spark):
     assert [(r["a"], r["b"]) for r in top] == [(2, 3), (1, 5)]
 
 
+def test_harmonic_hand_values(spark):
+    from powergraph_spark.algorithms import harmonic
+
+    g = _graph(spark)
+    rows = {r["id"]: r for r in harmonic(g, [1, 5], max_depth=8).collect()}
+    # distances: from 1 -> {2:1, 3:1, 4:1, 5:2}; from 5 -> {4:1, rest:2}
+    assert (rows[1]["n_reached"], rows[1]["harmonic"]) == (1, 0.5)
+    assert (rows[2]["n_reached"], rows[2]["harmonic"]) == (2, 1.5)
+    assert (rows[3]["n_reached"], rows[3]["harmonic"]) == (2, 1.5)
+    assert (rows[4]["n_reached"], rows[4]["harmonic"]) == (2, 2.0)
+    assert (rows[5]["n_reached"], rows[5]["harmonic"]) == (1, 0.5)
+
+
 def test_modularity_hand_value(spark):
     g = _graph(spark)
     spark_labels = [(1, 10), (2, 10), (3, 10), (4, 10), (5, 50)]
