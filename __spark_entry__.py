@@ -1995,6 +1995,16 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous Louvain local-move rounds (integer-exact
+    scores, singleton-swap guard; SURVEY §2.9) from singleton
+    communities."""
+    from powergraph_spark.algorithms.louvain import louvain_moves
+
+    g = _co_graph(spark, sf_dir)
+    return louvain_moves(g, rounds=2).orderBy("id")
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3287,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "link_pred": q_link_pred,
         "harmonic": q_harmonic,
+        "louvain2": q_louvain2,
     }
 
 
@@ -4539,6 +4550,52 @@ SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(d)::BIGINT AS sum_dist,
        ROUND(CASE WHEN SUM(d) > 0 THEN COUNT(*)::DOUBLE / SUM(d)
                   ELSE 0.0 END, 5) AS closeness
 FROM dist GROUP BY id ORDER BY id
+"""
+
+
+def _louvain_sql(rounds: int) -> str:
+    """Unrolled synchronous Louvain local-move rounds mirroring
+    algorithms/louvain.py: integer ×2m scores, min-c tie-break,
+    singleton-swap guard. Every CTE is MATERIALIZED — lab{r} is
+    referenced five times per round and DuckDB would otherwise inline
+    it exponentially."""
+    parts = [
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS c FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"sig{r} AS MATERIALIZED (SELECT l.c, SUM(d.d) AS sigma "
+            f"FROM lab{p} l JOIN deg d ON d.id = l.id GROUP BY l.c)",
+            f"siz{r} AS MATERIALIZED (SELECT c, COUNT(*) AS n FROM lab{p} GROUP BY c)",
+            f"nc{r} AS MATERIALIZED (SELECT und.src AS id, l.c, COUNT(*) AS k "
+            f"FROM und JOIN lab{p} l ON l.id = und.dst GROUP BY und.src, l.c)",
+            f"cand{r} AS MATERIALIZED ("
+            f"SELECT COALESCE(n.id, o.id) AS id, COALESCE(n.c, o.c) AS c, "
+            f"COALESCE(n.k, 0) AS k "
+            f"FROM nc{r} n FULL JOIN lab{p} o ON o.id = n.id AND o.c = n.c)",
+            f"sc{r} AS MATERIALIZED ("
+            f"SELECT cd.id, cd.c, "
+            f"2 * (SELECT m FROM mm) * cd.k - d.d * (s.sigma - "
+            f"CASE WHEN cd.c = l.c THEN d.d ELSE 0 END) AS score "
+            f"FROM cand{r} cd JOIN lab{p} l ON l.id = cd.id "
+            f"JOIN deg d ON d.id = cd.id JOIN sig{r} s ON s.c = cd.c)",
+            f"bst{r} AS MATERIALIZED (SELECT id, c AS best_c FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY score DESC, c ASC) AS rn FROM sc{r}) WHERE rn = 1)",
+            f"lab{r} AS MATERIALIZED ("
+            f"SELECT b.id, CASE WHEN so.n = 1 AND st.n = 1 AND b.best_c > l.c "
+            f"THEN l.c ELSE b.best_c END AS c "
+            f"FROM bst{r} b JOIN lab{p} l ON l.id = b.id "
+            f"JOIN siz{r} so ON so.c = l.c JOIN siz{r} st ON st.c = b.best_c)",
+        ]
+    joined = ",\n".join(parts)
+    return f"""
+WITH {_SQL_EDGES},
+{joined}
+SELECT id, c AS community FROM lab{rounds} ORDER BY id
 """
 
 
@@ -6026,6 +6083,7 @@ FROM f
         "eigen3": _eigen3_sql(),
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),
         "harmonic": _harmonic_sql(N_SEEDS, BETW_DEPTH),
+        "louvain2": _louvain_sql(2),
         "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
         "prestige": _prestige_sql(N_SEEDS, 8),
         "dijkstra_tree": _DIJKSTRA_SQL,

@@ -1,0 +1,100 @@
+"""Differential oracle for the BSP-determinized Louvain local-move
+phase: an independent pure-python replica of the synchronous
+integer-score rule, compared exactly on hand and pseudo-random
+fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from powergraph_spark.algorithms.louvain import louvain_moves
+from powergraph_spark.graph import Graph
+
+
+def _replica(edges, rounds):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    m = len(und)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        sigma = defaultdict(int)
+        for v, c in lab.items():
+            sigma[c] += deg[v]
+        csize = Counter(lab.values())
+        new = {}
+        for i in adj:
+            k_ic = Counter(lab[n] for n in adj[i])
+            cands = set(k_ic) | {lab[i]}
+            best = None
+            for c in sorted(cands):
+                s = 2 * m * k_ic.get(c, 0) - deg[i] * (
+                    sigma[c] - (deg[i] if c == lab[i] else 0)
+                )
+                if best is None or s > best[0]:
+                    best = (s, c)
+            bc = best[1]
+            # singleton-swap guard (mirrors louvain.py)
+            if csize[lab[i]] == 1 and csize[bc] == 1 and bc > lab[i]:
+                bc = lab[i]
+            new[i] = bc
+        lab = new
+    return lab
+
+
+def _run(spark, edges, rounds, parts=4):
+    g = Graph.from_pandas(spark, edges, num_partitions=parts)
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_moves(g, rounds=rounds).collect()
+    }
+    assert got == _replica(edges, rounds)
+
+
+def test_louvain_kite_tail(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5)]
+    for rounds in (1, 2, 3):
+        _run(spark, edges, rounds)
+
+
+def test_louvain_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: moves should pull each
+    # triangle into one community
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    _run(spark, edges, 2)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    lab = {
+        r["id"]: r["community"]
+        for r in louvain_moves(g, rounds=2).collect()
+    }
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] == lab[5] == lab[6]
+    assert lab[1] != lab[4]
+
+
+def test_louvain_pseudorandom_and_partition_invariance(spark):
+    # deterministic LCG edge list; replica-exact at several rounds and
+    # identical across partitionings
+    x = 1234567
+    edges = []
+    for _ in range(120):
+        x = (1103515245 * x + 12345) % (2**31)
+        a = x % 30
+        x = (1103515245 * x + 12345) % (2**31)
+        b = x % 30
+        if a != b:
+            edges.append((a, b))
+    for rounds in (1, 2):
+        _run(spark, edges, rounds, parts=4)
+    g8 = Graph.from_pandas(spark, edges, num_partitions=8)
+    got8 = {
+        r["id"]: r["community"]
+        for r in louvain_moves(g8, rounds=2).collect()
+    }
+    assert got8 == _replica(edges, 2)
