@@ -2005,6 +2005,16 @@ def q_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_moves(g, rounds=2).orderBy("id")
 
 
+def q_louvain_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-level Louvain: 2 move rounds, contract communities to
+    an integer-weighted super-graph (self-loops = internal mass), 2
+    more weighted rounds, project back (SURVEY §2.9)."""
+    from powergraph_spark.algorithms.louvain import louvain
+
+    g = _co_graph(spark, sf_dir)
+    return louvain(g, rounds_per_level=2, levels=2).orderBy("id")
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3298,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": q_link_pred,
         "harmonic": q_harmonic,
         "louvain2": q_louvain2,
+        "louvain_l2": q_louvain_l2,
     }
 
 
@@ -4553,49 +4564,87 @@ FROM dist GROUP BY id ORDER BY id
 """
 
 
-def _louvain_sql(rounds: int) -> str:
-    """Unrolled synchronous Louvain local-move rounds mirroring
-    algorithms/louvain.py: integer ×2m scores, min-c tie-break,
-    singleton-swap guard. Every CTE is MATERIALIZED — lab{r} is
-    referenced five times per round and DuckDB would otherwise inline
-    it exponentially."""
-    parts = [
-        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)",
-        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e)",
-        "lab0 AS MATERIALIZED (SELECT id, id AS c FROM deg)",
-    ]
+def _louvain_rounds_cte(parts: list, L: int, rounds: int) -> str:
+    """Append `rounds` weighted synchronous move rounds at level L to
+    `parts`, reading sym_{L} (a, b, w), deg_{L} (id, d) and
+    lab_{L}_0; returns the name of the final label CTE."""
     for r in range(1, rounds + 1):
-        p = r - 1
+        p, t = f"lab_{L}_{r - 1}", f"{L}_{r}"
         parts += [
-            f"sig{r} AS MATERIALIZED (SELECT l.c, SUM(d.d) AS sigma "
-            f"FROM lab{p} l JOIN deg d ON d.id = l.id GROUP BY l.c)",
-            f"siz{r} AS MATERIALIZED (SELECT c, COUNT(*) AS n FROM lab{p} GROUP BY c)",
-            f"nc{r} AS MATERIALIZED (SELECT und.src AS id, l.c, COUNT(*) AS k "
-            f"FROM und JOIN lab{p} l ON l.id = und.dst GROUP BY und.src, l.c)",
-            f"cand{r} AS MATERIALIZED ("
+            f"sig_{t} AS MATERIALIZED (SELECT l.c, SUM(d.d) AS sigma "
+            f"FROM {p} l JOIN deg_{L} d ON d.id = l.id GROUP BY l.c)",
+            f"siz_{t} AS MATERIALIZED (SELECT c, COUNT(*) AS n FROM {p} GROUP BY c)",
+            f"nc_{t} AS MATERIALIZED (SELECT s.a AS id, l.c, SUM(s.w) AS k "
+            f"FROM sym_{L} s JOIN {p} l ON l.id = s.b GROUP BY s.a, l.c)",
+            f"cand_{t} AS MATERIALIZED ("
             f"SELECT COALESCE(n.id, o.id) AS id, COALESCE(n.c, o.c) AS c, "
             f"COALESCE(n.k, 0) AS k "
-            f"FROM nc{r} n FULL JOIN lab{p} o ON o.id = n.id AND o.c = n.c)",
-            f"sc{r} AS MATERIALIZED ("
+            f"FROM nc_{t} n FULL JOIN {p} o ON o.id = n.id AND o.c = n.c)",
+            f"sc_{t} AS MATERIALIZED ("
             f"SELECT cd.id, cd.c, "
             f"2 * (SELECT m FROM mm) * cd.k - d.d * (s.sigma - "
             f"CASE WHEN cd.c = l.c THEN d.d ELSE 0 END) AS score "
-            f"FROM cand{r} cd JOIN lab{p} l ON l.id = cd.id "
-            f"JOIN deg d ON d.id = cd.id JOIN sig{r} s ON s.c = cd.c)",
-            f"bst{r} AS MATERIALIZED (SELECT id, c AS best_c FROM ("
+            f"FROM cand_{t} cd JOIN {p} l ON l.id = cd.id "
+            f"JOIN deg_{L} d ON d.id = cd.id JOIN sig_{t} s ON s.c = cd.c)",
+            f"bst_{t} AS MATERIALIZED (SELECT id, c AS best_c FROM ("
             f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
-            f"ORDER BY score DESC, c ASC) AS rn FROM sc{r}) WHERE rn = 1)",
-            f"lab{r} AS MATERIALIZED ("
+            f"ORDER BY score DESC, c ASC) AS rn FROM sc_{t}) WHERE rn = 1)",
+            f"lab_{L}_{r} AS MATERIALIZED ("
             f"SELECT b.id, CASE WHEN so.n = 1 AND st.n = 1 AND b.best_c > l.c "
             f"THEN l.c ELSE b.best_c END AS c "
-            f"FROM bst{r} b JOIN lab{p} l ON l.id = b.id "
-            f"JOIN siz{r} so ON so.c = l.c JOIN siz{r} st ON st.c = b.best_c)",
+            f"FROM bst_{t} b JOIN {p} l ON l.id = b.id "
+            f"JOIN siz_{t} so ON so.c = l.c JOIN siz_{t} st ON st.c = b.best_c)",
         ]
+    return f"lab_{L}_{rounds}"
+
+
+def _louvain_sql(rounds: int, levels: int = 1) -> str:
+    """Unrolled synchronous Louvain mirroring algorithms/louvain.py:
+    integer ×2m scores, min-c tie-break, singleton-swap guard; with
+    levels=2, one community-graph coarsening (integer edge weights,
+    self-loop mass) and a second block of weighted rounds, projected
+    back to original vertex ids. Every CTE is MATERIALIZED — each
+    label CTE is referenced five times per round and DuckDB would
+    otherwise inline it exponentially."""
+    parts = [
+        "deg_1 AS MATERIALIZED "
+        "(SELECT src AS id, COUNT(*)::BIGINT AS d FROM und GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM e)",
+        "sym_1 AS MATERIALIZED (SELECT src AS a, dst AS b, 1::BIGINT AS w FROM und)",
+        "lab_1_0 AS MATERIALIZED (SELECT id, id AS c FROM deg_1)",
+    ]
+    final = _louvain_rounds_cte(parts, 1, rounds)
+    if levels == 1:
+        joined = ",\n".join(parts)
+        return f"""
+WITH {_SQL_EDGES},
+{joined}
+SELECT id, c AS community FROM {final} ORDER BY id
+"""
+    assert levels == 2
+    parts += [
+        f"ce_2 AS MATERIALIZED ("
+        f"SELECT LEAST(la.c, lb.c) AS a, GREATEST(la.c, lb.c) AS b, "
+        f"COUNT(*)::BIGINT AS w "
+        f"FROM e JOIN {final} la ON la.id = e.src "
+        f"JOIN {final} lb ON lb.id = e.dst GROUP BY 1, 2)",
+        "wund_2 AS MATERIALIZED (SELECT a, b, w FROM ce_2 WHERE a <> b)",
+        "wself_2 AS MATERIALIZED (SELECT a AS id, w FROM ce_2 WHERE a = b)",
+        "deg_2 AS MATERIALIZED (SELECT id, SUM(w) AS d FROM ("
+        "SELECT a AS id, w FROM wund_2 UNION ALL SELECT b AS id, w FROM wund_2 "
+        "UNION ALL SELECT id, 2 * w FROM wself_2) GROUP BY id)",
+        "sym_2 AS MATERIALIZED (SELECT a, b, w FROM wund_2 "
+        "UNION ALL SELECT b AS a, a AS b, w FROM wund_2)",
+        "lab_2_0 AS MATERIALIZED (SELECT id, id AS c FROM deg_2)",
+    ]
+    final2 = _louvain_rounds_cte(parts, 2, rounds)
     joined = ",\n".join(parts)
     return f"""
 WITH {_SQL_EDGES},
 {joined}
-SELECT id, c AS community FROM lab{rounds} ORDER BY id
+SELECT l.id, u.c AS community
+FROM {final} l JOIN {final2} u ON u.id = l.c
+ORDER BY l.id
 """
 
 
@@ -6084,6 +6133,7 @@ FROM f
         "closeness": _closeness_sql(N_SEEDS, BETW_DEPTH),
         "harmonic": _harmonic_sql(N_SEEDS, BETW_DEPTH),
         "louvain2": _louvain_sql(2),
+        "louvain_l2": _louvain_sql(2, levels=2),
         "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
         "prestige": _prestige_sql(N_SEEDS, 8),
         "dijkstra_tree": _DIJKSTRA_SQL,

@@ -1,28 +1,36 @@
-"""Synchronous modularity-ascent community moves (the local-move
-phase of Louvain, BSP-determinized).
+"""Synchronous modularity-ascent community detection (Louvain,
+BSP-determinized): local-move rounds plus community-graph coarsening.
 
 An engine extension (SURVEY §2.9) complementing label propagation
-(/root/reference/toolkits/graph_analytics has LP only): instead of
-majority labels, every vertex simultaneously joins the neighbor
-community with the highest modularity gain (Blondel et al. 2008,
-local-move rule), evaluated against the PREVIOUS round's assignment —
-the same BSP determinization this repo uses for LP/SGD/Gibbs, so the
-result is independent of partitioning and executor count.
+(/root/reference/toolkits/graph_analytics has LP only): every vertex
+simultaneously joins the neighbor community with the highest
+modularity gain (Blondel et al. 2008 local-move rule) evaluated
+against the PREVIOUS round's assignment — the same BSP
+determinization this repo uses for LP/SGD/Gibbs, so the result is
+independent of partitioning and executor count. `louvain()` then
+contracts communities into super-vertices (integer edge weights =
+original edge counts, self-loops = internal mass) and repeats the
+moves one level up, projecting labels back — the full Louvain shape.
 
-Integer-exact scoring: on an unweighted graph the gain ordering
-    ΔQ(i→c) ∝ k_{i,c} − k_i · Σ_tot(c∖i) / (2m)
-is preserved by the ×2m-scaled integer score
+Integer-exact scoring: all weights are integer edge counts, so the
+×2m-scaled gain
     score(i, c) = 2m·k_{i,c} − k_i·(Σ_tot(c) − [c = c_i]·k_i)
-so the argmax (ties → smaller community id) involves NO float
-comparisons — the oracle SQL replays it exactly, and cross-engine
-rounding cannot flip a move. (At 10^12-edge scale the products stay
-within int64 while 2m < ~3·10^9 and max degree < ~10^5; beyond that
-the same expression degrades to double with documented tie risk.)
+involves NO float comparisons at any level — the oracle SQL replays
+the argmax exactly and cross-engine rounding cannot flip a move.
+(At 10^12-edge scale the products stay within int64 while
+2m < ~3·10^9 and max weighted degree < ~10^5; beyond that the same
+expression degrades to double with documented tie risk.)
+
+Synchronous-oscillation guard: moves between two SINGLETON
+communities are allowed only toward the smaller community id
+(Lu, Halappanavar & Kalyanaraman 2015), which breaks the i↔j swap
+cycle and lets cliques coalesce deterministically.
 
 Plan shape per round: one groupBy for community masses, one
-edge×label join + pair-count aggregate for k_{i,c} (partial-agg,
-co-partitioned on the vertex key), one per-vertex window argmax.
-Everything JVM-side.
+edge×label join + weighted pair aggregate for k_{i,c}, one
+per-vertex window argmax, one size-guard join — all JVM-side. The
+coarsening is two label joins + one groupBy; each level shrinks the
+vertex set to the community count, so upper levels are cheap.
 """
 
 from __future__ import annotations
@@ -31,37 +39,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .summary import _und_degrees, _und_edges
+from .summary import _und_edges
 
 
-def louvain_moves(graph: Graph, rounds: int = 2) -> DataFrame:
-    """(id, community) after `rounds` synchronous local-move rounds
-    from singleton communities. Deterministic: integer scores, ties
-    broken by smaller community id."""
-    und = _und_edges(graph)
-    deg = _und_degrees(und)
-    sym = und.select("a", "b").unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+def _move_rounds(
+    wund: DataFrame, deg: DataFrame, m: int, rounds: int
+) -> DataFrame:
+    """Synchronous local-move rounds on a weighted undirected graph.
+
+    wund: (a, b, w) canonical a < b, no self-loops — self-loop weight
+    is excluded from k_{i,c} (it moves with the vertex and cancels in
+    gain comparisons) but must already be counted inside `deg`.
+    deg: (id, deg) weighted degree incl. 2×self-loop weight.
+    m: total edge weight (cross + self) — invariant across levels.
+    Returns (id, community).
+    """
+    sym = wund.select("a", "b", "w").unionAll(
+        wund.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )
-    m = und.count()
     lab = deg.select("id", F.col("id").alias("community"))
     for _ in range(rounds):
-        # Σ_tot per community
         mass = (
-            deg.join(lab, "id")
-            .groupBy("community")
-            .agg(F.sum("deg").alias("sigma"))
+            deg.join(lab, "id").groupBy("community").agg(F.sum("deg").alias("sigma"))
         )
-        # k_{i,c}: edges from i into community c (previous assignment)
         nbr_c = (
             sym.join(
                 lab.select(F.col("id").alias("b"), F.col("community").alias("c")),
                 "b",
             )
             .groupBy(F.col("a").alias("id"), "c")
-            .agg(F.count(F.lit(1)).alias("k_ic"))
+            .agg(F.sum("w").alias("k_ic"))
         )
-        # candidate set = neighbor communities ∪ own community
         own = lab.select("id", F.col("community").alias("c"))
         cand = nbr_c.join(own, ["id", "c"], "full").select(
             "id", "c", F.coalesce("k_ic", F.lit(0)).alias("k_ic")
@@ -90,11 +98,6 @@ def louvain_moves(graph: Graph, rounds: int = 2) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("id", F.col("c").alias("best_c"))
         )
-        # singleton-swap guard (Lu, Halappanavar & Kalyanaraman 2015):
-        # synchronous moves between two SINGLETON communities oscillate
-        # forever (i->j while j->i); allow such a move only toward the
-        # smaller community id, which breaks the symmetry and lets
-        # cliques coalesce deterministically.
         sizes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("n"))
         own_n = sizes.withColumnRenamed("community", "own_c").withColumnRenamed(
             "n", "own_n"
@@ -119,4 +122,81 @@ def louvain_moves(graph: Graph, rounds: int = 2) -> DataFrame:
             )
         )
         lab = lab.localCheckpoint(eager=True)  # truncate per-round lineage
+    return lab
+
+
+def _unit_inputs(graph: Graph):
+    """(wund, deg, m) for the unweighted level-1 graph."""
+    wund = _und_edges(graph).withColumn("w", F.lit(1).cast("long"))
+    deg = (
+        wund.select(F.col("a").alias("id"), "w")
+        .unionAll(wund.select(F.col("b").alias("id"), "w"))
+        .groupBy("id")
+        .agg(F.sum("w").alias("deg"))
+    )
+    m = wund.count()
+    return wund, deg, m
+
+
+def louvain_moves(graph: Graph, rounds: int = 2) -> DataFrame:
+    """(id, community) after `rounds` synchronous local-move rounds
+    from singleton communities (level 1 only)."""
+    wund, deg, m = _unit_inputs(graph)
+    return _move_rounds(wund, deg, m, rounds)
+
+
+def louvain(
+    graph: Graph, rounds_per_level: int = 2, levels: int = 2
+) -> DataFrame:
+    """Full multi-level Louvain: local moves, contract communities to
+    a weighted super-graph (cross-community edge counts as weights,
+    internal mass as self-loops), move again one level up, project
+    back. Returns (id, community) on the ORIGINAL vertex ids."""
+    wund, deg, m = _unit_inputs(graph)
+    lab = _move_rounds(wund, deg, m, rounds_per_level)
+    cur_edges = wund
+    for _ in range(1, levels):
+        la = lab.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+        lb = lab.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+        ce = (
+            cur_edges.join(la, "a")
+            .join(lb, "b")
+            .select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        ).persist()
+        wund2 = ce.filter(F.col("a") != F.col("b"))
+        wself2 = ce.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias("id"), "w"
+        )
+        deg2 = (
+            wund2.select(F.col("a").alias("id"), "w")
+            .unionAll(wund2.select(F.col("b").alias("id"), "w"))
+            .unionAll(wself2.select("id", (2 * F.col("w")).alias("w")))
+            .groupBy("id")
+            .agg(F.sum("w").alias("deg"))
+        )
+        lab_up = _move_rounds(wund2, deg2, m, rounds_per_level)
+        # project: community of v = level-up community of v's community
+        lab = (
+            lab.join(
+                lab_up.select(
+                    F.col("id").alias("community"),
+                    F.col("community").alias("community_up"),
+                ),
+                "community",
+            )
+            .select("id", F.col("community_up").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        ce.unpersist()
+        # carry self-loops forward so a further coarsening keeps the
+        # internal mass of already-merged communities
+        cur_edges = wund2.unionAll(
+            wself2.select(F.col("id").alias("a"), F.col("id").alias("b"), "w")
+        )
     return lab
