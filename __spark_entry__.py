@@ -2015,6 +2015,19 @@ def q_louvain_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain(g, rounds_per_level=2, levels=2).orderBy("id")
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fixed-fanout 2-hop neighbor sampling (fanouts
+    3 then 2, md5-deterministic draws; SURVEY §2.9) from the 10
+    lowest-id vertices."""
+    from powergraph_spark.algorithms.sampling import neighbor_sample
+
+    g = _co_graph(spark, sf_dir)
+    seeds = g.vertices.select("id").orderBy("id").limit(10)
+    return neighbor_sample(g, seeds, fanouts=[3, 2], seed=42).orderBy(
+        "hop", "src", "dst"
+    )
+
+
 def q_neighbors_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vertex_set 1-hop expansion (distributed_graph.hpp:2471-2493):
     out-neighbors of the 10 lowest-id vertices."""
@@ -3309,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "louvain2": q_louvain2,
         "louvain_l2": q_louvain_l2,
+        "neighbor_sample": q_neighbor_sample,
     }
 
 
@@ -6134,6 +6148,32 @@ FROM f
         "harmonic": _harmonic_sql(N_SEEDS, BETW_DEPTH),
         "louvain2": _louvain_sql(2),
         "louvain_l2": _louvain_sql(2, levels=2),
+        "neighbor_sample": f"""
+WITH {E},
+seeds AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 10),
+f0 AS (SELECT id AS src FROM seeds),
+h1 AS (
+  SELECT 1 AS hop, src, dst FROM (
+    SELECT f0.src, und.dst,
+           ROW_NUMBER() OVER (PARTITION BY f0.src
+             ORDER BY md5(concat_ws('|', 42, f0.src, und.dst)), und.dst) AS rk
+    FROM f0 JOIN und ON und.src = f0.src)
+  WHERE rk <= 3
+),
+f1 AS (SELECT DISTINCT dst AS src FROM h1),
+h2 AS (
+  SELECT 2 AS hop, src, dst FROM (
+    SELECT f1.src, und.dst,
+           ROW_NUMBER() OVER (PARTITION BY f1.src
+             ORDER BY md5(concat_ws('|', 42, f1.src, und.dst)), und.dst) AS rk
+    FROM f1 JOIN und ON und.src = f1.src)
+  WHERE rk <= 2
+)
+SELECT hop, src, dst FROM h1
+UNION ALL
+SELECT hop, src, dst FROM h2
+ORDER BY hop, src, dst
+""",
         "betweenness": _betweenness_sql(N_SEEDS, BETW_DEPTH),
         "prestige": _prestige_sql(N_SEEDS, 8),
         "dijkstra_tree": _DIJKSTRA_SQL,
