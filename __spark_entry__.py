@@ -2480,6 +2480,34 @@ def _messy_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-layer composition: keep each document with probability
+    proportional to its HOST's weighted PageRank (p = rank/max_rank,
+    same md5-uniform draw as quality_sample) — the link-graph signal
+    steering corpus curation, the axes-A mission in one query."""
+    from powergraph_spark.datapipe.clean import quality_sample
+
+    ranks = q_host_rank(spark, sf_dir)  # (host, rank) rounded 5dp
+    mx = float(ranks.agg(F.max("rank")).collect()[0][0])
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    j = d.join(ranks, "host")
+    kept = quality_sample(
+        j, weight=F.col("rank") / F.lit(mx), id_col="doc_id", seed="ranksample"
+    )
+    return kept.select(
+        "doc_id", "host", F.round("rank", 5).alias("rank"),
+        F.round("u", 5).alias("u"),
+    ).orderBy("doc_id")
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host-level rollup (webtext.urls): weight
     = links per (src_host, dst_host); min_src pins every step of the
@@ -3323,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain2": q_louvain2,
         "louvain_l2": q_louvain_l2,
         "neighbor_sample": q_neighbor_sample,
+        "rank_sample": q_rank_sample,
     }
 
 
@@ -4232,13 +4261,14 @@ ORDER BY h{iters}.id
 """
 
 
-def _host_rank_sql() -> str:
-    """Independent derivation of host_rank: hosts/weights computed
-    straight from doc_id residues (not via the canonicalization chain
-    — a stronger, implementation-independent check), then 3 unrolled
-    weighted-PageRank steps mirroring the engine's (rank / wout) * w
-    operation order. Self-loop host edges are dropped exactly like
-    Graph.from_edges, while the vertex set keeps every host."""
+def _host_rank_ctes() -> str:
+    """Shared WITH-body for the host-rank oracles: hosts/weights
+    computed straight from doc_id residues (not via the
+    canonicalization chain — a stronger, implementation-independent
+    check), then 3 unrolled weighted-PageRank steps mirroring the
+    engine's (rank / wout) * w operation order. Self-loop host edges
+    are dropped exactly like Graph.from_edges, while the vertex set
+    keeps every host."""
     steps = []
     for t in range(1, 4):
         steps.append(f"""
@@ -4252,8 +4282,7 @@ r{t} AS (
   GROUP BY v.host
 )""")
     body = ",".join(steps)
-    return f"""
-WITH he_all AS MATERIALIZED (
+    return f"""he_all AS MATERIALIZED (
   SELECT 'site' || (doc_id % 17)::VARCHAR || '.example.com' AS src,
          'site' || ((doc_id * 7) % 17)::VARCHAR || '.example.com' AS dst,
          COUNT(*) AS w
@@ -4262,7 +4291,12 @@ WITH he_all AS MATERIALIZED (
 hv AS (SELECT src AS host FROM he_all UNION SELECT dst FROM he_all),
 he AS MATERIALIZED (SELECT * FROM he_all WHERE src <> dst),
 wo AS (SELECT src AS host, CAST(SUM(w) AS DOUBLE) AS wout FROM he GROUP BY src),
-r0 AS (SELECT host, 1.0 AS rank FROM hv),{body}
+r0 AS (SELECT host, 1.0 AS rank FROM hv),{body}"""
+
+
+def _host_rank_sql() -> str:
+    return f"""
+WITH {_host_rank_ctes()}
 SELECT host, ROUND(rank, 5) AS rank FROM r3 ORDER BY host
 """
 
@@ -6148,6 +6182,25 @@ FROM f
         "harmonic": _harmonic_sql(N_SEEDS, BETW_DEPTH),
         "louvain2": _louvain_sql(2),
         "louvain_l2": _louvain_sql(2, levels=2),
+        "rank_sample": f"""
+WITH {_host_rank_ctes()},
+ranks AS (SELECT host, ROUND(rank, 5) AS rank FROM r3),
+mx AS (SELECT MAX(rank) AS m FROM ranks),
+d AS (
+  SELECT doc_id,
+         'site' || (doc_id % 17)::VARCHAR || '.example.com' AS host
+  FROM documents
+),
+hs AS (
+  SELECT d.doc_id, d.host, ranks.rank,
+         md5('ranksample:' || d.doc_id::VARCHAR) AS h
+  FROM d JOIN ranks ON ranks.host = d.host
+),
+uu AS (SELECT doc_id, host, rank, {_sql_md5_u()} AS u FROM hs)
+SELECT doc_id, host, ROUND(rank, 5) AS rank, ROUND(u, 5) AS u
+FROM uu WHERE u < rank / (SELECT m FROM mx)
+ORDER BY doc_id
+""",
         "neighbor_sample": f"""
 WITH {E},
 seeds AS (SELECT DISTINCT id FROM v ORDER BY id LIMIT 10),
