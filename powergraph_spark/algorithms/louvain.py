@@ -145,6 +145,38 @@ def louvain_moves(graph: Graph, rounds: int = 2) -> DataFrame:
     return _move_rounds(wund, deg, m, rounds)
 
 
+def _contract(wedges: DataFrame, lab: DataFrame) -> DataFrame:
+    """Contract a weighted canonical edge list (a, b, w — self-loops
+    allowed) by a (id, community) map: (a, b, w) on community ids,
+    a <= b, self-loops carrying the internal mass."""
+    la = lab.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    return (
+        wedges.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def community_graph(
+    graph: Graph, labels: DataFrame, label_col: str = "community"
+) -> DataFrame:
+    """Public rollup: contract the graph's undirected edge set by any
+    (id, <label_col>) map into a weighted super-graph (a, b, w) with
+    a <= b — w = number of original edges between (or, on the
+    diagonal, inside) the two communities. The host_graph shape,
+    generalized to computed communities."""
+    lab = labels.select("id", F.col(label_col).alias("community"))
+    wund = _und_edges(graph).withColumn("w", F.lit(1).cast("long"))
+    return _contract(wund, lab)
+
+
 def louvain(
     graph: Graph, rounds_per_level: int = 2, levels: int = 2
 ) -> DataFrame:
@@ -156,19 +188,7 @@ def louvain(
     lab = _move_rounds(wund, deg, m, rounds_per_level)
     cur_edges = wund
     for _ in range(1, levels):
-        la = lab.select(F.col("id").alias("a"), F.col("community").alias("ca"))
-        lb = lab.select(F.col("id").alias("b"), F.col("community").alias("cb"))
-        ce = (
-            cur_edges.join(la, "a")
-            .join(lb, "b")
-            .select(
-                F.least("ca", "cb").alias("a"),
-                F.greatest("ca", "cb").alias("b"),
-                "w",
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("w").alias("w"))
-        ).persist()
+        ce = _contract(cur_edges, lab).persist()
         wund2 = ce.filter(F.col("a") != F.col("b"))
         wself2 = ce.filter(F.col("a") == F.col("b")).select(
             F.col("a").alias("id"), "w"

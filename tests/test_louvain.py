@@ -151,6 +151,20 @@ def test_louvain_two_cliques_bridge(spark):
     assert lab[1] != lab[4]
 
 
+def test_community_graph_rollup(spark):
+    from powergraph_spark.algorithms.louvain import community_graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5)]
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 50), (5, 50)], "id long, community long"
+    )
+    got = {
+        (r["a"], r["b"]): r["w"] for r in community_graph(g, lab).collect()
+    }
+    assert got == {(10, 10): 2, (10, 50): 3, (50, 50): 1}
+
+
 def test_multilevel_replica_exact(spark):
     from powergraph_spark.algorithms.louvain import louvain
 
