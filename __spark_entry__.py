@@ -61,14 +61,35 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-split starvation guard (optimization guide §2.5, "one huge
+    unsplittable file"): the testdata tables are single-file,
+    single-ROW-GROUP parquet, so a scan — and every expensive
+    expression Catalyst fuses into the scan stage, e.g. minhash's
+    32-way md5 partial aggregation — runs as ONE task no matter how
+    many cores the cluster has (maxPartitionBytes cannot split inside
+    a row group). Repartition right after the read ONLY when the scan
+    yields fewer splits than the session's parallelism; on a real
+    sharded corpus (thousands of splits) this is a no-op and no extra
+    shuffle is paid. Row-order-independent consumers only (all our
+    aggregations/joins are)."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No .distinct() here: the only consumer is Graph.from_edges, whose
+    # finalize already dedups (src, dst) as a partition-local window on
+    # the pid layout — a distinct here would be a second full exchange
+    # + hash-agg of the pair set for nothing (r6 opt, guide §2.4).
     l1 = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = l1.withColumnRenamed("l_partkey", "p2")
     return (
         l1.join(l2, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("p2"))
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-        .distinct()
     )
 
 
@@ -120,7 +141,6 @@ def _dir_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_partkey") != F.col("p2"))
         )
         .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-        .distinct()
     )
 
 
@@ -1902,9 +1922,13 @@ def q_label_propagation2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total triangle count, degree-ordered intersection
-    (undirected_triangle_count.cpp:148-560)."""
+    (undirected_triangle_count.cpp:148-560). Total-only path: the
+    per-edge intersections fold straight into one SUM (no array
+    cache — r6 opt, same result)."""
+    from powergraph_spark.algorithms.triangle_count import triangle_total
+
     g = _co_graph(spark, sf_dir)
-    _, total = triangle_count(g)
+    total = triangle_total(g)
     # graph stays persisted: shared via _GRAPH_CACHE across queries
     return spark.createDataFrame([(total,)], "n_triangles long")
 
@@ -2829,8 +2853,12 @@ MINHASH_CAP = 1000  # max bucket size (boilerplate-bucket guard),
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, md5 hash family so the
-    DuckDB oracle recomputes signatures/bands/buckets exactly."""
-    docs = _load(spark, sf_dir, "documents")
+    DuckDB oracle recomputes signatures/bands/buckets exactly.
+
+    _spread: the 32 md5-min aggregates ride the scan stage; without
+    splitting the single-row-group input they run on ONE core
+    (measured 8.2 s -> 2.1 s at sf0.1, identical rows — r6 opt)."""
+    docs = _spread(_load(spark, sf_dir, "documents"))
     return minhash_lsh_candidates(
         docs, num_hashes=32, bands=16, k=3,
         hash_family="md5", max_bucket=MINHASH_CAP,

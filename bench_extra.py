@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Round-6 optimization instrumentation (guide §1). NOT the driver
+bench — bench.py is frozen. This file isolates the expensive pieces:
+
+  --flagship   phase breakdown of the flagship (ingest vs loop vs
+               per-superstep wall) at the bench corpus size
+  --queries    warm noop-sink timing of each bench query (2 runs each,
+               so run 2 shows the steady-state cost with the shared
+               graph cache hot)
+  --plans NAME write .explain("formatted") of a query to stdout
+
+Usage: python bench_extra.py --flagship
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pagerank3", "connected_components", "label_propagation2",
+    "triangles_total", "degree_stats", "text_stats", "exact_dup_groups",
+    "minhash_candidates", "knn_cosine", "simhash",
+]
+
+
+def _spark():
+    from powergraph_spark.session import get_spark
+
+    return get_spark(app_name="bench_extra", shuffle_partitions=CPUS)
+
+
+def flagship_breakdown():
+    from pyspark.sql import functions as F
+
+    import bench
+    from powergraph_spark.algorithms import pagerank
+    from powergraph_spark.webtext import pages_to_graph
+
+    spark = _spark()
+    pages = bench._ensure_pages(spark)
+    out = {}
+
+    t0 = time.time()
+    g = pages_to_graph(pages, num_partitions=CPUS, salt_cap=65536)
+    n_edges = g.num_edges()
+    out["ingest_sec"] = round(time.time() - t0, 3)
+    out["edges"] = n_edges
+
+    t0 = time.time()
+    res = pagerank(g, tol=1e-6, max_iterations=200, check_interval=1,
+                   verbose=True)
+    out["loop_sec"] = round(time.time() - t0, 3)
+    out["supersteps"] = res.supersteps
+    out["superstep_walls"] = [round(m.wall_sec, 3) for m in res.metrics]
+
+    t0 = time.time()
+    checksum = float(res.state.agg(F.sum("rank")).first()[0])
+    out["checksum_sec"] = round(time.time() - t0, 3)
+    out["checksum"] = checksum
+    g.unpersist()
+    print(json.dumps(out))
+
+
+def warm_queries():
+    spark = _spark()
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = runs
+    print(json.dumps(out))
+
+
+def plan_of(name: str):
+    spark = _spark()
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    df = qs[name](spark, SF_DIR)
+    print(df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"))
+
+
+if __name__ == "__main__":
+    if "--flagship" in sys.argv:
+        flagship_breakdown()
+    elif "--queries" in sys.argv:
+        warm_queries()
+    elif "--plans" in sys.argv:
+        plan_of(sys.argv[sys.argv.index("--plans") + 1])

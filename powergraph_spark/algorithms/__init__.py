@@ -56,7 +56,11 @@ from .svd import SVDResult, svd
 from .svdpp import SVDPPResult, svdpp, svdpp_predict
 from .wals import wals
 from .sssp import dijkstra_tree, sssp
-from .triangle_count import triangle_count, triangle_edge_counts
+from .triangle_count import (
+    triangle_count,
+    triangle_edge_counts,
+    triangle_total,
+)
 
 __all__ = [
     "EmbeddingResult",
@@ -86,6 +90,7 @@ __all__ = [
     "label_histogram",
     "triangle_count",
     "triangle_edge_counts",
+    "triangle_total",
     "sssp",
     "kcore_vertices",
     "kcore_stats",

@@ -52,9 +52,14 @@ def connected_components(
     the reference's dynamic scheduling, mirroring
     ``pagerank_warm_start``."""
     P = graph.num_partitions
-    # ALL_EDGES view: label floods both directions.
+    # ALL_EDGES view: label floods both directions. The UNDEDUPED
+    # multiset view is deliberate (r6 opt): min-label messages are
+    # idempotent under duplicate edges, so the dedup exchange + hash
+    # agg symmetrized_edges() pays (a second all-to-all of the whole
+    # edge set) buys nothing here — the repartition below is the only
+    # shuffle this view needs (guide §2.4).
     sym = (
-        graph.symmetrized_edges()
+        graph.all_edges_view()
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

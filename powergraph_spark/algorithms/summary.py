@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from .triangle_count import triangle_count
+from .triangle_count import triangle_count, triangle_total
 
 
 def _und_edges(graph: Graph) -> DataFrame:
@@ -110,8 +110,9 @@ def transitivity(graph: Graph) -> DataFrame:
     """One row (n_triangles, n_wedges, transitivity): global
     clustering coefficient 3*T / W with W = sum_v d(v)*(d(v)-1)/2.
     One triangle pass + one degree aggregate; the ratio is a single
-    driver-side-free scalar expression."""
-    _per_v, total = triangle_count(graph)
+    driver-side-free scalar expression. Uses the total-only triangle
+    path (no per-vertex cache — r6 opt)."""
+    total = triangle_total(graph)
     deg = _und_degrees(_und_edges(graph))
     d = F.col("deg").cast("double")
     w = deg.agg(F.sum(d * (d - 1.0) / 2.0).alias("w")).collect()[0]["w"]

@@ -69,9 +69,11 @@ def _oriented(graph: Graph) -> DataFrame:
     )
 
 
-def triangle_edge_counts(graph: Graph) -> DataFrame:
-    """(lo, hi, common) — triangles closed over each oriented edge,
-    plus the intersection itself for per-vertex attribution."""
+def _edge_counts(graph: Graph) -> tuple[DataFrame, DataFrame]:
+    """((lo, hi, common), persisted oriented handle). The caller owns
+    the handle and must unpersist it once its own actions are done —
+    an earlier version leaked one cached copy of the oriented edge set
+    per invocation (r6 fix)."""
     P = graph.num_partitions
     oriented = _oriented(graph).repartition(P, "lo").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -80,7 +82,7 @@ def triangle_edge_counts(graph: Graph) -> DataFrame:
         F.sort_array(F.collect_list("hi")).alias("nbrs")
     )
     a_lo, a_hi = adj.alias("alo"), adj.alias("ahi")
-    return (
+    ec = (
         oriented.join(a_lo, oriented.lo == F.col("alo.id"), "left")
         .join(a_hi, oriented.hi == F.col("ahi.id"), "left")
         .select(
@@ -92,6 +94,33 @@ def triangle_edge_counts(graph: Graph) -> DataFrame:
             ).alias("common"),
         )
     )
+    return ec, oriented
+
+
+def triangle_edge_counts(graph: Graph) -> DataFrame:
+    """(lo, hi, common) — triangles closed over each oriented edge,
+    plus the intersection itself for per-vertex attribution."""
+    return _edge_counts(graph)[0]
+
+
+def triangle_total(graph: Graph) -> int:
+    """Total triangle count only — the TOTAL_COUNT mode of the
+    reference (undirected_triangle_count.cpp:520-560 folds per-edge
+    counts straight into a global counter without storing them).
+
+    Same oriented-intersection pipeline as :func:`triangle_count`, but
+    the per-edge intersection is consumed as ``size(...)`` inside the
+    final aggregate: the ``common`` arrays are never materialized into
+    a cache and the whole reduction is one partially-aggregated SUM —
+    no ec persist, no second pass (r6 opt; ``triangle_count`` keeps the
+    cached counts because per-vertex attribution reads them thrice).
+    """
+    ec, oriented = _edge_counts(graph)
+    total = int(
+        ec.select(F.size("common").alias("c")).agg(F.sum("c")).first()[0] or 0
+    )
+    oriented.unpersist()
+    return total
 
 
 def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
@@ -100,8 +129,14 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
     Per-vertex semantics match the reference's second GAS round
     (simple_undirected_triangle_count.cpp:216-288): every vertex counts
     the triangles it participates in; sum(per-vertex) = 3 * total.
+
+    The per-vertex table is materialized (localCheckpoint) before the
+    intermediate caches are released, so callers that act on it later
+    never silently recompute the whole intersection pipeline (r6 fix —
+    previously ec was unpersisted while per_vertex was still lazy).
     """
-    ec = triangle_edge_counts(graph).withColumn("c", F.size("common")).persist(
+    ec0, oriented = _edge_counts(graph)
+    ec = ec0.withColumn("c", F.size("common")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     total = int(ec.agg(F.sum("c")).first()[0] or 0)
@@ -116,6 +151,8 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
         graph.vertices.select("id")
         .join(credits.groupBy("id").agg(F.sum("n").alias("n_triangles")), "id", "left")
         .select("id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+        .localCheckpoint(eager=True)
     )
     ec.unpersist()
+    oriented.unpersist()
     return per_vertex, total
