@@ -129,7 +129,16 @@ def pagerank(
             StorageLevel.MEMORY_AND_DISK
         )
         static.count()
-        init = init_wide.select("id", "rank", "delta")
+        # init rides the hot static cache: rank/delta are literals, so
+        # there is nothing to join — an earlier version re-executed the
+        # whole vertices ⋈ out_deg + repartition a second time just to
+        # attach two constants (r6 opt: one setup join execution, not
+        # two; byte-identical init state).
+        init = static.select(
+            "id",
+            F.lit(1.0).alias("rank"),
+            F.lit(float("inf")).alias("delta"),
+        )
     else:
         init = init_wide
 
