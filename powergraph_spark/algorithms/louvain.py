@@ -28,14 +28,15 @@ cycle and lets cliques coalesce deterministically.
 
 Plan shape per round: one groupBy for community masses, one
 edge×label join + weighted pair aggregate for k_{i,c}, one
-per-vertex window argmax, one size-guard join — all JVM-side. The
+per-vertex partially-aggregated argmax (min-struct, no window), one
+size-guard join — all JVM-side. The
 coarsening is two label joins + one groupBy; each level shrinks the
 vertex set to the community count, so upper levels are cheap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
@@ -92,12 +93,19 @@ def _move_rounds(
                 ).alias("score"),
             )
         )
-        w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("c").asc())
-        best = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("c").alias("best_c"))
-        )
+        # per-vertex argmax as an AGGREGATE, not a row_number window
+        # (r5 verdict item 6 / r6 opt): min(struct(-score, c)) is the
+        # same (max score, tie -> smallest c) selection — scores are
+        # integer-exact so negation is lossless — but gets map-side
+        # partial aggregation, so a hub's candidate rows combine before
+        # the shuffle instead of all landing in one window task.
+        best = scored.groupBy("id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("c").alias("c")
+                )
+            ).alias("b")
+        ).select("id", F.col("b.c").alias("best_c"))
         sizes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("n"))
         own_n = sizes.withColumnRenamed("community", "own_c").withColumnRenamed(
             "n", "own_n"

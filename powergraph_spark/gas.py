@@ -73,6 +73,8 @@ def truncate_plan(df: DataFrame) -> DataFrame:
     internalCreateDataFrame bridge is unavailable.
     """
     d2 = df.localCheckpoint(eager=True)
+    if not _ORIGIN_FREE_BRIDGE:
+        return d2
     try:
         spark = d2.sparkSession
         jrdd = d2._jdf.queryExecution().toRdd()
@@ -82,6 +84,14 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         return DataFrame(jdf, spark)
     except Exception:
         return d2
+
+
+# Test seam (tests/test_graph.py pins both paths): setting this False
+# forces the plain-localCheckpoint fallback, which is correct but
+# re-exposes the origin-chain optimizer cost documented above. A loud
+# bridge-liveness test guards against a Spark upgrade silently
+# demoting every origin_free_checkpoint loop to the fallback.
+_ORIGIN_FREE_BRIDGE = True
 
 
 @dataclass
