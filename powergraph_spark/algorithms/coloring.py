@@ -85,80 +85,119 @@ def coloring(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    for it in range(max_iterations):
-        uncolored = state.filter(F.col("color").isNull())
-        if uncolored.isEmpty():
-            break
-        if order == "saturation":
-            # DSATUR: per-wave saturation gather over colored neighbors
-            sat = (
-                sym.join(
-                    state.filter(F.col("color").isNotNull())
-                    .select(F.col("id").alias("src"), F.col("color").alias("nc"))
-                    .hint("shuffle_hash"),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.countDistinct("nc").alias("sat"))
-            )
-            cand = (
-                uncolored.join(sat.hint("shuffle_hash"), "id", "left")
-                .select(
-                    "id",
-                    F.struct(
-                        F.coalesce("sat", F.lit(0)).cast("long").alias("sat"),
-                        F.col("prio.deg").alias("deg"),
-                        F.col("prio.h").alias("h"),
-                    ).alias("p"),
-                )
-            )
-        else:
-            cand = uncolored.select("id", F.col("prio").alias("p"))
-        # winners: candidates beating all uncolored neighbors on (p, id)
-        nbr_prio = (
-            sym.join(
-                cand.select(F.col("id").alias("src"), F.col("p").alias("np"))
-                .hint("shuffle_hash"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.max(F.struct(F.col("np"), F.col("src").alias("nid"))).alias("mx"))
-            .select("id", F.col("mx.np").alias("max_np"),
-                    F.col("mx.nid").alias("max_nid"))
-        )
-        winners = (
-            cand.join(nbr_prio, "id", "left")
-            .filter(
-                F.col("max_np").isNull()
-                | (F.struct(F.col("p").alias("np"), F.col("id").alias("nid"))
-                   > F.struct(F.col("max_np").alias("np"),
-                              F.col("max_nid").alias("nid")))
-            )
-            .select(F.col("id").alias("wid"))
-        )
-        # min free color among already-colored neighbors
-        used = (
-            sym.join(
-                state.filter(F.col("color").isNotNull())
-                .select(F.col("id").alias("src"), F.col("color").alias("nc"))
-                .hint("shuffle_hash"),
-                "src")
-            .join(winners, sym.dst == F.col("wid"))
-            .groupBy("wid")
-            .agg(F.collect_set("nc").alias("used"))
-        ).withColumnRenamed("wid", "id")
-        winners = winners.withColumnRenamed("wid", "id")
-        free = F.coalesce(
+    # min free color given the gathered used-color set (empty set -> 0)
+    def _free(used_col):
+        return F.coalesce(
             F.element_at(
                 F.filter(
-                    F.sequence(F.lit(0), F.size("used")),
-                    lambda c: ~F.array_contains("used", c),
+                    F.sequence(F.lit(0), F.size(used_col)),
+                    lambda c: ~F.array_contains(used_col, c),
                 ), 1,
             ),
             F.lit(0),
         )
-        newly = (
-            winners.join(used, "id", "left")
-            .select("id", F.coalesce(free, F.lit(0)).alias("new_color"))
+
+    beats = F.col("max_np").isNull() | (
+        F.struct(F.col("p").alias("np"), F.col("id").alias("nid"))
+        > F.struct(F.col("max_np").alias("np"), F.col("max_nid").alias("nid"))
+    )
+
+    for it in range(max_iterations):
+        uncolored = state.filter(F.col("color").isNull())
+        if uncolored.isEmpty():
+            break
+        # FUSED wave gather (r6 opt, byte-identical colors): ONE pass
+        # over sym joined with the full state computes, per vertex, BOTH
+        # the max priority among UNCOLORED neighbors (the JP winner
+        # test) and the color set of COLORED neighbors (the min-free
+        # input — and DSATUR's saturation IS its size, so the separate
+        # countDistinct gather collapses into the same aggregate).
+        # Replaces 2 (jp/degree) or 3 (saturation) sym-joins + shuffles
+        # per wave with 1 (2 for saturation: the neighbor-priority
+        # gather must see per-wave saturations, a chained gather).
+        nbr = state.select(
+            F.col("id").alias("src"), F.col("color").alias("nc"),
+            F.col("prio").alias("np0"),
         )
+        if order == "saturation":
+            g1 = (
+                sym.join(nbr.hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(
+                    F.collect_set(
+                        F.when(F.col("nc").isNotNull(), F.col("nc"))
+                    ).alias("used")
+                )
+            )
+            cand = (
+                uncolored.join(g1.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.struct(
+                        F.coalesce(F.size("used"), F.lit(0))
+                        .cast("long").alias("sat"),
+                        F.col("prio.deg").alias("deg"),
+                        F.col("prio.h").alias("h"),
+                    ).alias("p"),
+                    F.coalesce(
+                        "used", F.array().cast("array<int>")
+                    ).alias("used"),
+                )
+            )
+            nbr_prio = (
+                sym.join(
+                    cand.select(F.col("id").alias("src"), F.col("p").alias("np"))
+                    .hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.struct(F.col("np"), F.col("src").alias("nid")))
+                     .alias("mx"))
+                .select("id", F.col("mx.np").alias("max_np"),
+                        F.col("mx.nid").alias("max_nid"))
+            )
+            newly = (
+                cand.join(nbr_prio.hint("shuffle_hash"), "id", "left")
+                .filter(beats)
+                .select("id", _free(F.col("used")).alias("new_color"))
+            )
+        else:
+            gath = (
+                sym.join(nbr.hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col("nc").isNull(),
+                            F.struct(F.col("np0").alias("np"),
+                                     F.col("src").alias("nid")),
+                        )
+                    ).alias("mx"),
+                    F.collect_set(
+                        F.when(F.col("nc").isNotNull(), F.col("nc"))
+                    ).alias("used"),
+                )
+            )
+            newly = (
+                uncolored.select("id", F.col("prio").alias("p"))
+                .join(gath.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id", "p",
+                    F.col("mx.np").alias("max_np"),
+                    F.col("mx.nid").alias("max_nid"),
+                    F.coalesce(
+                        "used", F.array().cast("array<int>")
+                    ).alias("used"),
+                )
+                .filter(beats)
+                .select("id", _free(F.col("used")).alias("new_color"))
+            )
+        # materialization discipline UNCHANGED from r5 (measured, r6):
+        # localCheckpoint severs the RDD lineage and the persist on top
+        # makes the next wave's plans read an InMemoryRelation LEAF —
+        # without it the state re-enters the wave plan through three
+        # branches and the optimizer's origin-chain walk compounds
+        # geometrically (the gas.truncate_plan failure mode; a
+        # checkpoint-only variant of this loop was measured >3x slower
+        # by wave ~200 during the r6 rewrite and reverted)
         new_state = (
             state.join(newly.hint("shuffle_hash"), "id", "left")
             .select(
