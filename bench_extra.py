@@ -86,6 +86,59 @@ def warm_queries():
     print(json.dumps(out))
 
 
+def rank_digest(cpus: int):
+    """Discriminating, order-insensitive per-vertex rank digest
+    (ADVICE r5: bench.py's sum(rank) checksum is a mass-conservation
+    invariant — equal on ANY corpus — so it cannot evidence
+    per-vertex identity across parallelisms). Digest = xor over
+    vertices of the first 16 hex chars of md5(id || ':' ||
+    round(rank, 12)), plus the vertex count: any single-vertex rank
+    difference >= 1e-12 flips it. Run at cpus=2/8/32 on the SAME
+    corpus; equal digests = byte-identical ranks at 12dp."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    os.environ["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
+    from pyspark.sql import functions as F
+
+    from powergraph_spark.session import get_spark
+
+    spark = get_spark(app_name=f"digest-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=int(os.environ.get(
+                          "SPARK_GRAFT_SCALING_PARTITIONS", "32")))
+    import bench
+    bench.CPUS = cpus
+    from powergraph_spark.algorithms import pagerank
+    from powergraph_spark.webtext import pages_to_graph
+
+    pages = bench._ensure_pages(spark)
+    g = pages_to_graph(
+        pages,
+        num_partitions=int(os.environ.get(
+            "SPARK_GRAFT_SCALING_PARTITIONS", "32")),
+        salt_cap=65536,
+    )
+    res = pagerank(g, tol=1e-6, max_iterations=200, check_interval=5)
+    row = (
+        res.state.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("id"),
+                                      F.round("rank", 12))), 1, 16
+                ), 16, 10,
+            ).cast("decimal(38,0)").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h").alias("hsum"),
+        )
+        .first()
+    )
+    print(json.dumps({
+        "cpus": cpus, "n_vertices": int(row["n"]),
+        "digest_sum_md5_16hex": str(row["hsum"]),
+        "supersteps": res.supersteps,
+    }))
+
+
 def plan_of(name: str):
     spark = _spark()
     import __spark_entry__ as entrymod
@@ -101,5 +154,7 @@ if __name__ == "__main__":
         flagship_breakdown()
     elif "--queries" in sys.argv:
         warm_queries()
+    elif "--digest" in sys.argv:
+        rank_digest(int(sys.argv[sys.argv.index("--digest") + 1]))
     elif "--plans" in sys.argv:
         plan_of(sys.argv[sys.argv.index("--plans") + 1])
