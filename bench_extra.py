@@ -90,11 +90,14 @@ def rank_digest(cpus: int):
     """Discriminating, order-insensitive per-vertex rank digest
     (ADVICE r5: bench.py's sum(rank) checksum is a mass-conservation
     invariant — equal on ANY corpus — so it cannot evidence
-    per-vertex identity across parallelisms). Digest = xor over
-    vertices of the first 16 hex chars of md5(id || ':' ||
-    round(rank, 12)), plus the vertex count: any single-vertex rank
-    difference >= 1e-12 flips it. Run at cpus=2/8/32 on the SAME
-    corpus; equal digests = byte-identical ranks at 12dp."""
+    per-vertex identity across parallelisms). Digest = SUM over
+    vertices of the 64-bit integer value of the first 16 hex chars of
+    md5(id || ':' || round(rank, 12)), plus the vertex count. One
+    vertex differing at >= 1e-12 changes its term and so the sum (up
+    to a ~2^-64 md5-prefix collision); a multi-vertex difference
+    escapes only if its prefix deltas cancel exactly (~2^-64). Run at
+    cpus=2/8/32 on the SAME corpus; equal digests evidence identical
+    ranks at 12dp."""
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     from pyspark.sql import functions as F

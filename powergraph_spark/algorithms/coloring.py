@@ -120,6 +120,12 @@ def coloring(
             F.col("prio").alias("np0"),
         )
         if order == "saturation":
+            # NOTE: cand (carrying this g1 aggregate) feeds BOTH the
+            # priority gather and the winner projection; the duplicate
+            # subtree is served by Catalyst/AQE exchange reuse
+            # (measured: the dsatur oracle query dropped ~246s ->
+            # ~100s with this shape — a third sym pass would show up
+            # immediately in that number if reuse ever broke).
             g1 = (
                 sym.join(nbr.hint("shuffle_hash"), "src")
                 .groupBy(F.col("dst").alias("id"))

@@ -69,14 +69,23 @@ def _oriented(graph: Graph) -> DataFrame:
     )
 
 
-def _edge_counts(graph: Graph) -> tuple[DataFrame, DataFrame]:
-    """((lo, hi, common), persisted oriented handle). The caller owns
-    the handle and must unpersist it once its own actions are done —
-    an earlier version leaked one cached copy of the oriented edge set
-    per invocation (r6 fix)."""
+def _edge_counts(
+    graph: Graph, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """((lo, hi, common), oriented handle). With ``persist=True`` the
+    caller owns the handle and must unpersist it once its own actions
+    are done — an earlier version leaked one cached copy of the
+    oriented edge set per invocation (r6 fix). ``persist=False``
+    materializes the shared oriented table as a LAZY localCheckpoint
+    instead: still computed once across the three consumers, but
+    cleaned up by the ContextCleaner when the returned DataFrame is
+    garbage-collected — the right mode when the handle cannot be
+    returned to the caller (public triangle_edge_counts)."""
     P = graph.num_partitions
-    oriented = _oriented(graph).repartition(P, "lo").persist(
-        StorageLevel.MEMORY_AND_DISK
+    oriented = _oriented(graph).repartition(P, "lo")
+    oriented = (
+        oriented.persist(StorageLevel.MEMORY_AND_DISK) if persist
+        else oriented.localCheckpoint(eager=False)
     )
     adj = oriented.groupBy(F.col("lo").alias("id")).agg(
         F.sort_array(F.collect_list("hi")).alias("nbrs")
@@ -99,8 +108,11 @@ def _edge_counts(graph: Graph) -> tuple[DataFrame, DataFrame]:
 
 def triangle_edge_counts(graph: Graph) -> DataFrame:
     """(lo, hi, common) — triangles closed over each oriented edge,
-    plus the intersection itself for per-vertex attribution."""
-    return _edge_counts(graph)[0]
+    plus the intersection itself for per-vertex attribution. The
+    shared oriented table rides a lazy localCheckpoint (computed once,
+    GC-cleaned) rather than an explicit persist this entry point could
+    never release (r6 leak fix for the public API)."""
+    return _edge_counts(graph, persist=False)[0]
 
 
 def triangle_total(graph: Graph) -> int:

@@ -149,15 +149,29 @@ def test_truncate_plan_bridge_live_and_origin_free(spark):
     out = gas.truncate_plan(df)
     rows = sorted((r["id"], r["x"]) for r in out.collect())
     assert rows == [(i, 2 * i) for i in range(100)]
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
+
+    # TRUE discriminator between the two paths (both print as
+    # ExistingRDD scans, and py4j resolves ANY attribute name to a
+    # JavaMember without checking Java-side existence, so neither a
+    # plan-string grep nor an attribute check can catch a silently
+    # broken bridge): a plain localCheckpoint's LogicalRDD CARRIES
+    # origin statistics from the pre-checkpoint plan (a small, known
+    # sizeInBytes — the very origin chain truncate_plan exists to
+    # sever), while the bridge's fresh LogicalRDD has none and falls
+    # back to spark.sql.defaultSizeInBytes (Long.MaxValue-ish, ~8 EiB).
+    def size_in_bytes(d):
+        return float(
+            d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    small = spark.range(0, 100).selectExpr("id", "id * 2 AS x")
+    assert size_in_bytes(small.localCheckpoint(eager=True)) < 1e9
+    assert size_in_bytes(out) > 1e15, (
+        "truncate_plan result carries origin statistics — it fell "
+        "back to plain localCheckpoint, so the internalCreateDataFrame "
+        "bridge is dead on this Spark version (the documented "
+        "geometric optimizer blowup would silently return)"
     )
-    # the fallback localCheckpoint plan prints as LogicalRDD too, but
-    # only the bridge path yields a FRESH one whose string carries no
-    # checkpoint marker; assert the strong invariant both share first
-    assert "ExistingRDD" in plan
-    # and that the bridge itself is alive (would raise if renamed)
-    assert spark._jsparkSession.internalCreateDataFrame is not None
 
 
 def test_truncate_plan_fallback_correct_and_bounded(spark, monkeypatch):
