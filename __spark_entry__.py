@@ -1928,7 +1928,12 @@ def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms.triangle_count import triangle_total
 
     g = _co_graph(spark, sf_dir)
-    total = triangle_total(g)
+    # canonical_edges: _co_edges emits strictly src < dst pairs and
+    # from_edges' finalize dedups (src, dst), so the co-graph's edge set
+    # is already the canonical undirected form — the (least, greatest)
+    # dedup exchange inside the triangle pass removes nothing (r6 opt,
+    # guide §2.4; measured −35 % warm, identical totals).
+    total = triangle_total(g, canonical_edges=True)
     # graph stays persisted: shared via _GRAPH_CACHE across queries
     return spark.createDataFrame([(total,)], "n_triangles long")
 
@@ -1936,7 +1941,9 @@ def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts (simple_undirected_triangle_count.cpp:216-288)."""
     g = _co_graph(spark, sf_dir)
-    per_v, _ = triangle_count(g)
+    # canonical_edges: see q_triangles_total (co-graph pairs are
+    # strictly ordered + finalize-deduped)
+    per_v, _ = triangle_count(g, canonical_edges=True)
     out = per_v.orderBy("id")
     # graph stays persisted: shared via _GRAPH_CACHE across queries
     return out
@@ -1949,7 +1956,8 @@ def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms.summary import local_clustering_coefficients
 
     g = _co_graph(spark, sf_dir)
-    out = local_clustering_coefficients(g)
+    # canonical_edges: see q_triangles_total
+    out = local_clustering_coefficients(g, canonical_edges=True)
     return out.select(
         "id", "degree", "n_triangles", F.round("lcc", 6).alias("lcc")
     ).orderBy("id")
@@ -1961,7 +1969,8 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms.summary import degree_assortativity
 
     g = _co_graph(spark, sf_dir)
-    return degree_assortativity(g).select(
+    # canonical_edges: see q_triangles_total
+    return degree_assortativity(g, canonical_edges=True).select(
         F.round("assortativity", 6).alias("assortativity")
     )
 
@@ -1974,7 +1983,9 @@ def q_modularity_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _co_graph(spark, sf_dir)
     res = label_propagation(g, max_iterations=2)
-    out = modularity(g, res.state.select("id", "label"))
+    # canonical_edges: see q_triangles_total
+    out = modularity(g, res.state.select("id", "label"),
+                     canonical_edges=True)
     return out.select(
         F.round("modularity", 6).alias("modularity"), "n_communities"
     )
@@ -1986,7 +1997,8 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms.summary import transitivity
 
     g = _co_graph(spark, sf_dir)
-    return transitivity(g).select(
+    # canonical_edges: see q_triangles_total
+    return transitivity(g, canonical_edges=True).select(
         "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
     )
 
@@ -2009,7 +2021,9 @@ def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms.link_prediction import top_link_predictions
 
     g = _co_graph(spark, sf_dir)
-    out = top_link_predictions(g, k=100, min_common=2)
+    # canonical_edges: see q_triangles_total
+    out = top_link_predictions(g, k=100, min_common=2,
+                               canonical_edges=True)
     return out.select(
         "a",
         "b",
@@ -2376,7 +2390,8 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms import ktruss
 
     g = _co_graph(spark, sf_dir)
-    out, _ = ktruss(g, KTRUSS_K)
+    # canonical_edges: see q_triangles_total
+    out, _ = ktruss(g, KTRUSS_K, canonical_edges=True)
     return out.orderBy("a", "b")
 
 

@@ -91,23 +91,25 @@ def _edge_support(und: DataFrame) -> DataFrame:
 
 
 def ktruss(
-    graph: Graph, k: int, max_rounds: int = 100, verbose: bool = False
+    graph: Graph, k: int, max_rounds: int = 100, verbose: bool = False,
+    canonical_edges: bool = False,
 ) -> tuple[DataFrame, int]:
     """Returns ((a, b, support) — the k-truss edge set with each
     edge's triangle support inside the truss — and the number of peel
-    rounds run). k >= 2; k=2 keeps every (self-loop-free) edge."""
+    rounds run). k >= 2; k=2 keeps every (self-loop-free) edge.
+    ``canonical_edges=True`` asserts the edge rows are already strictly
+    src < dst and unique, skipping the setup dedup exchange (same
+    contract as triangle_count._oriented)."""
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
     need = k - 2
-    cur = (
-        graph.edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
-    )
+    cur = graph.edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    if not canonical_edges:
+        cur = cur.dropDuplicates(["a", "b"])
+    cur = cur.localCheckpoint(eager=True)
     rounds = 0
     sup = _edge_support(cur).persist(StorageLevel.MEMORY_AND_DISK)
     while rounds < max_rounds:

@@ -35,6 +35,7 @@ def link_scores(
     graph: Graph,
     min_common: int = 2,
     hub_degree_cap: Optional[int] = None,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """(a, b, cn, aa, jacc) for every non-adjacent pair a < b with at
     least `min_common` common neighbors.
@@ -43,7 +44,7 @@ def link_scores(
     aa   = Σ_{c ∈ N(a)∩N(b)} 1 / ln d(c)    (Adamic-Adar)
     jacc = cn / (d(a) + d(b) - cn)          (Jaccard overlap)
     """
-    und = _und_edges(graph)
+    und = _und_edges(graph, canonical_edges)
     deg = _und_degrees(und)
     sym = und.select("a", "b").unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -89,11 +90,14 @@ def top_link_predictions(
     k: int = 100,
     min_common: int = 2,
     hub_degree_cap: Optional[int] = None,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """Top-k candidate links ordered by (cn desc, a, b) — the integer
     ordering key makes the cut deterministic across partitionings and
     engines; aa/jacc ride along as score columns."""
-    scores = link_scores(graph, min_common=min_common, hub_degree_cap=hub_degree_cap)
+    scores = link_scores(graph, min_common=min_common,
+                         hub_degree_cap=hub_degree_cap,
+                         canonical_edges=canonical_edges)
     return scores.orderBy(
         F.col("cn").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(k)

@@ -34,15 +34,20 @@ from ..graph import Graph
 from .triangle_count import triangle_count, triangle_total
 
 
-def _und_edges(graph: Graph) -> DataFrame:
-    """Undirected dedup edge list as (a < b), self-loops dropped."""
-    return (
-        graph.edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-    )
+def _und_edges(graph: Graph, canonical_edges: bool = False) -> DataFrame:
+    """Undirected dedup edge list as (a < b), self-loops dropped.
+
+    ``canonical_edges=True`` asserts the graph's edge rows already
+    satisfy src < dst with unique (src, dst) — then least/greatest is
+    the identity, the dedup exchange removes nothing and is skipped
+    (r6 opt, guide §2.4; same contract as
+    triangle_count._oriented(canonical_edges=True))."""
+    und = graph.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if not canonical_edges:
+        und = und.dropDuplicates(["a", "b"])
+    return und
 
 
 def _und_degrees(und: DataFrame) -> DataFrame:
@@ -55,7 +60,9 @@ def _und_degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def local_clustering_coefficients(graph: Graph) -> DataFrame:
+def local_clustering_coefficients(
+    graph: Graph, canonical_edges: bool = False
+) -> DataFrame:
     """Per-vertex (id, degree, n_triangles, lcc).
 
     lcc = 2*T / (d*(d-1)) for d >= 2, else 0.0. Triangle counts come
@@ -63,8 +70,8 @@ def local_clustering_coefficients(graph: Graph) -> DataFrame:
     marginal cost over a triangle query is one degree aggregation and
     one co-partitioned join.
     """
-    per_v, _total = triangle_count(graph)
-    deg = _und_degrees(_und_edges(graph))
+    per_v, _total = triangle_count(graph, canonical_edges=canonical_edges)
+    deg = _und_degrees(_und_edges(graph, canonical_edges))
     d = F.col("deg").cast("double")
     return (
         per_v.join(deg, "id", "left")
@@ -82,13 +89,15 @@ def local_clustering_coefficients(graph: Graph) -> DataFrame:
     )
 
 
-def degree_assortativity(graph: Graph) -> DataFrame:
+def degree_assortativity(
+    graph: Graph, canonical_edges: bool = False
+) -> DataFrame:
     """One row (assortativity): Pearson correlation of endpoint
     degrees over the symmetrized undirected edge list (each edge
     counted in both directions, which makes the statistic symmetric
     without a remaining-degree correction term).
     """
-    und = _und_edges(graph)
+    und = _und_edges(graph, canonical_edges)
     deg = _und_degrees(und)
     sym = und.select("a", "b").unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -106,14 +115,14 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     )
 
 
-def transitivity(graph: Graph) -> DataFrame:
+def transitivity(graph: Graph, canonical_edges: bool = False) -> DataFrame:
     """One row (n_triangles, n_wedges, transitivity): global
     clustering coefficient 3*T / W with W = sum_v d(v)*(d(v)-1)/2.
     One triangle pass + one degree aggregate; the ratio is a single
     driver-side-free scalar expression. Uses the total-only triangle
     path (no per-vertex cache — r6 opt)."""
-    total = triangle_total(graph)
-    deg = _und_degrees(_und_edges(graph))
+    total = triangle_total(graph, canonical_edges=canonical_edges)
+    deg = _und_degrees(_und_edges(graph, canonical_edges))
     d = F.col("deg").cast("double")
     w = deg.agg(F.sum(d * (d - 1.0) / 2.0).alias("w")).collect()[0]["w"]
     spark = graph.edges.sparkSession
@@ -142,7 +151,12 @@ def reciprocity(graph: Graph) -> DataFrame:
     )
 
 
-def modularity(graph: Graph, labels: DataFrame, label_col: str = "label") -> DataFrame:
+def modularity(
+    graph: Graph,
+    labels: DataFrame,
+    label_col: str = "label",
+    canonical_edges: bool = False,
+) -> DataFrame:
     """One row (modularity, n_communities) for a vertex->label map.
 
     Q = sum_c [ L_c/m - (D_c/(2m))^2 ] with m = |undirected edges|,
@@ -151,7 +165,7 @@ def modularity(graph: Graph, labels: DataFrame, label_col: str = "label") -> Dat
     integer-exact; the float expression is evaluated once per
     community, then summed.
     """
-    und = _und_edges(graph)
+    und = _und_edges(graph, canonical_edges)
     deg = _und_degrees(und)
     lab = labels.select("id", F.col(label_col).alias("_c"))
     la = lab.select(F.col("id").alias("a"), F.col("_c").alias("ca"))

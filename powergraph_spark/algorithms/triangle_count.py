@@ -32,19 +32,29 @@ from pyspark.storagelevel import StorageLevel
 from ..graph import Graph
 
 
-def _oriented(graph: Graph) -> DataFrame:
-    """Undirected edges oriented lo->hi by (total degree, id)."""
-    und = (
-        graph.edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
+def _oriented(graph: Graph, canonical_edges: bool = False) -> DataFrame:
+    """Undirected edges oriented lo->hi by (total degree, id).
+
+    ``canonical_edges=True`` is a caller assertion that every edge row
+    already satisfies src < dst with (src, dst) unique — what
+    Graph.from_edges produces for a strictly-ordered pair ingest (e.g.
+    the co-purchase graph's ``l_partkey < p2`` builder). On such input
+    least/greatest is the identity and the (a, b) dedup is a full
+    exchange + hash-agg of the edge set that removes nothing, so it is
+    skipped (r6 opt, guide §2.4 "a distinct on data that is already
+    unique"; measured −35 % on the warm total-count pipeline at sf0.1,
+    identical totals). Generic directed inputs MUST keep the default:
+    a reciprocal pair (u,v),(v,u) maps to one (a,b) and has to collapse.
+    """
+    und = graph.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if not canonical_edges:
+        und = und.dropDuplicates(["a", "b"])
         # NOT persisted on purpose: Catalyst's ReusedExchange already
         # serves the three consumers from one dedup shuffle, and an
         # explicit cache was MEASURED SLOWER (11.2 vs 8.2 s at sf0.1 —
         # materializing the cache blocks exchange reuse/pipelining)
-    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
@@ -70,7 +80,7 @@ def _oriented(graph: Graph) -> DataFrame:
 
 
 def _edge_counts(
-    graph: Graph, persist: bool = True
+    graph: Graph, persist: bool = True, canonical_edges: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """((lo, hi, common), oriented handle). With ``persist=True`` the
     caller owns the handle and must unpersist it once its own actions
@@ -82,7 +92,7 @@ def _edge_counts(
     garbage-collected — the right mode when the handle cannot be
     returned to the caller (public triangle_edge_counts)."""
     P = graph.num_partitions
-    oriented = _oriented(graph).repartition(P, "lo")
+    oriented = _oriented(graph, canonical_edges).repartition(P, "lo")
     oriented = (
         oriented.persist(StorageLevel.MEMORY_AND_DISK) if persist
         else oriented.localCheckpoint(eager=False)
@@ -106,16 +116,17 @@ def _edge_counts(
     return ec, oriented
 
 
-def triangle_edge_counts(graph: Graph) -> DataFrame:
+def triangle_edge_counts(graph: Graph, canonical_edges: bool = False) -> DataFrame:
     """(lo, hi, common) — triangles closed over each oriented edge,
     plus the intersection itself for per-vertex attribution. The
     shared oriented table rides a lazy localCheckpoint (computed once,
     GC-cleaned) rather than an explicit persist this entry point could
-    never release (r6 leak fix for the public API)."""
-    return _edge_counts(graph, persist=False)[0]
+    never release (r6 leak fix for the public API). ``canonical_edges``:
+    see :func:`_oriented`."""
+    return _edge_counts(graph, persist=False, canonical_edges=canonical_edges)[0]
 
 
-def triangle_total(graph: Graph) -> int:
+def triangle_total(graph: Graph, canonical_edges: bool = False) -> int:
     """Total triangle count only — the TOTAL_COUNT mode of the
     reference (undirected_triangle_count.cpp:520-560 folds per-edge
     counts straight into a global counter without storing them).
@@ -127,7 +138,7 @@ def triangle_total(graph: Graph) -> int:
     no ec persist, no second pass (r6 opt; ``triangle_count`` keeps the
     cached counts because per-vertex attribution reads them thrice).
     """
-    ec, oriented = _edge_counts(graph)
+    ec, oriented = _edge_counts(graph, canonical_edges=canonical_edges)
     total = int(
         ec.select(F.size("common").alias("c")).agg(F.sum("c")).first()[0] or 0
     )
@@ -135,7 +146,9 @@ def triangle_total(graph: Graph) -> int:
     return total
 
 
-def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
+def triangle_count(
+    graph: Graph, canonical_edges: bool = False
+) -> tuple[DataFrame, int]:
     """Returns (per-vertex counts (id, n_triangles), total_triangles).
 
     Per-vertex semantics match the reference's second GAS round
@@ -147,7 +160,7 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
     never silently recompute the whole intersection pipeline (r6 fix —
     previously ec was unpersisted while per_vertex was still lazy).
     """
-    ec0, oriented = _edge_counts(graph)
+    ec0, oriented = _edge_counts(graph, canonical_edges=canonical_edges)
     ec = ec0.withColumn("c", F.size("common")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -169,6 +169,47 @@ def test_triangles_sum_is_3x_total(spark):
     assert s == 3 * total
 
 
+def test_triangles_canonical_fast_path_identical(spark):
+    """canonical_edges=True (skip the redundant (a,b) dedup exchange,
+    r6 opt) must be byte-identical to the default on an edge set that
+    actually satisfies the canonical contract: strictly src < dst,
+    unique pairs — the co-purchase-graph shape the entry queries
+    assert. Covers triangle_count, triangle_total, and the summary
+    consumers that thread the flag."""
+    from powergraph_spark.algorithms.summary import (
+        degree_assortativity,
+        local_clustering_coefficients,
+        transitivity,
+    )
+    from powergraph_spark.algorithms.triangle_count import triangle_total
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in PL_EDGES if a != b})
+    g = build(spark, canon)
+    base_pv, base_total = triangle_count(g)
+    fast_pv, fast_total = triangle_count(g, canonical_edges=True)
+    assert base_total == fast_total
+    assert sorted(map(tuple, base_pv.collect())) == sorted(
+        map(tuple, fast_pv.collect())
+    )
+    assert triangle_total(g, canonical_edges=True) == base_total
+    assert (
+        transitivity(g, canonical_edges=True).collect()
+        == transitivity(g).collect()
+    )
+    assert (
+        local_clustering_coefficients(g, canonical_edges=True)
+        .orderBy("id").collect()
+        == local_clustering_coefficients(g).orderBy("id").collect()
+    )
+    # corr is an order-dependent float sum: removing the dedup exchange
+    # changes the physical row order into the aggregate, so the raw
+    # value may differ in the last ulps. The query contract rounds to
+    # 6dp (q_assortativity) — compare at that precision.
+    a_fast = degree_assortativity(g, canonical_edges=True).first()[0]
+    a_base = degree_assortativity(g).first()[0]
+    assert round(a_fast, 6) == round(a_base, 6)
+
+
 # -------------------------------------------------- parallelism invariance
 def test_parallelism_invariance(spark):
     """Identical results across different pid counts (the reference's
